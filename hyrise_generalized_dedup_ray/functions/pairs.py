@@ -1,0 +1,96 @@
+"""Deterministic candidate-pair emission and group-chunking rules.
+
+These small pure functions define the *semantics* of candidate
+generation under group-size caps.  They are shared verbatim by the
+distributed stages and the sequential reference oracle, so both engines
+emit byte-identical candidate sets — group capping is part of the
+algorithm's definition, not a per-engine heuristic (the "no silent
+caps" rule: callers log whenever ``truncated`` comes back True).
+
+Analogy in the reference: JoinHash caps/partitions its build side by
+radix bits computed from input sizes (join_hash.hpp:36) — a
+deterministic function of the data, identical across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def emit_group_pairs(sorted_ids: np.ndarray, cap: int) -> tuple[list[tuple[int, int]], bool]:
+    """Candidate pairs for one group of co-bucketed doc ids.
+
+    ``sorted_ids`` must be sorted ascending and unique.  If the full
+    pair count fits under ``cap``, emit all pairs.  Otherwise emit a
+    star from the minimum id plus a ring of adjacent ids — that
+    preserves connectivity of any true duplicate set that spans the
+    group while bounding output to 2(n-1) pairs.  Returns
+    ``(pairs, truncated)``.
+    """
+    ids = [int(x) for x in sorted_ids]
+    n = len(ids)
+    if n < 2:
+        return [], False
+    if n * (n - 1) // 2 <= cap:
+        return [(ids[i], ids[j]) for i in range(n) for j in range(i + 1, n)], False
+    star = [(ids[0], ids[i]) for i in range(1, n)]
+    ring = [(ids[i], ids[i + 1]) for i in range(1, n - 1)]
+    return star + ring, True
+
+
+def chunk_with_anchor(sorted_ids: np.ndarray, max_docs: int) -> list[list[int]]:
+    """Split one oversized group into chunks of ≤ ``max_docs`` docs,
+    each chunk carrying the group's minimum id as an anchor so that any
+    connectivity found inside a chunk links back through the anchor.
+    """
+    ids = [int(x) for x in sorted_ids]
+    if len(ids) <= max_docs:
+        return [ids]
+    anchor, rest = ids[0], ids[1:]
+    step = max_docs - 1
+    return [[anchor] + rest[i : i + step] for i in range(0, len(rest), step)]
+
+
+def docset_key(sorted_ids: np.ndarray) -> np.uint64:
+    """Stable uint64 key of a sorted id set — used to deduplicate
+    fingerprint groups that contain the same document set (a shared run
+    of length L yields ~L/10 identical winnowed-fingerprint groups)."""
+    arr = np.asarray(sorted_ids, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.uint64(0xCBF29CE484222325)
+        for chunk in np.split(arr, range(4096, len(arr), 4096)):
+            h = np.uint64(h * np.uint64(0x100000001B3)) + np.uint64(
+                np.bitwise_xor.reduce(
+                    (chunk + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC2B2AE3D27D4EB4F)
+                )
+            ) + np.uint64(len(chunk))
+    return h
+
+
+class UnionFind:
+    """Plain path-compressing union-find keyed by int — used by the
+    sequential oracle and by the driver-side finisher for small edge
+    sets (the distributed star-contraction handles the big case)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if rb < ra:  # min id wins as root → labels are min(component)
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+    def labels(self, ids) -> dict[int, int]:
+        return {int(i): self.find(int(i)) for i in ids}
