@@ -91,9 +91,10 @@ def band_keys(sig: np.ndarray, cfg: SignatureConfig) -> np.ndarray:
 
     Band k of a signature hashes its ``rows_per_band`` contiguous slots
     into one uint64, then mixes in the band index so identical row
-    values in different bands never collide.  Documents whose signature
-    is all-EMPTY (zero shingles) get per-doc-unique keys derived from
-    the row index so they never group with anything.
+    values in different bands never collide.  Documents with zero
+    shingles (all-EMPTY signature) would all share the same keys —
+    callers must exclude them from banding (filter num_shingles > 0),
+    as both the LSH stage and the oracle do.
     """
     ndocs = sig.shape[0]
     keys = np.empty((ndocs, cfg.bands), dtype=np.uint64)

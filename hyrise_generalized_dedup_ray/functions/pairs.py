@@ -16,6 +16,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# docs per suffix-array partition (chunk_with_anchor bound) — shared
+# semantic constant: changing it changes which edges exist.
+SUBSTR_MAX_GROUP = 64
+
 
 def emit_group_pairs(sorted_ids: np.ndarray, cap: int) -> tuple[list[tuple[int, int]], bool]:
     """Candidate pairs for one group of co-bucketed doc ids.
@@ -65,6 +69,56 @@ def docset_key(sorted_ids: np.ndarray) -> np.uint64:
                 )
             ) + np.uint64(len(chunk))
     return h
+
+
+def salt_of(ids: np.ndarray, buckets: int) -> np.ndarray:
+    """Deterministic salt bucket per doc id (splitmix64 mod buckets)."""
+    from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
+
+    return (splitmix64(np.asarray(ids, dtype=np.int64).view(np.uint64).copy())
+            % np.uint64(buckets)).astype(np.int64)
+
+
+def band_group_candidates(
+    sorted_ids: np.ndarray,
+    salt_threshold: int,
+    salt_buckets: int,
+    pair_cap: int,
+) -> tuple[list[tuple[int, int]], bool, bool]:
+    """THE candidate rule for one LSH band group — shared semantics.
+
+    Groups up to ``salt_threshold`` docs emit pairs directly
+    (`emit_group_pairs`).  Hot bands are *salted*: members split into
+    ``salt_buckets`` deterministic sub-groups (splitmix64(doc_id) mod
+    buckets), pairs emitted per sub-group, plus bridge pairs linking
+    the minima of consecutive non-empty sub-groups so a genuinely
+    duplicate mega-band stays connected.  In the distributed pipeline
+    the salt is a real shuffle-key column — sub-groups land on
+    different reducers — while the sequential oracle calls this
+    function directly; both produce the identical candidate set.
+
+    Returns ``(pairs, salted, truncated)``.
+    """
+    ids = np.asarray(sorted_ids)
+    if len(ids) <= salt_threshold:
+        pairs, trunc = emit_group_pairs(ids, pair_cap)
+        return pairs, False, trunc
+    salts = salt_of(ids, salt_buckets)
+    pairs: list[tuple[int, int]] = []
+    truncated = False
+    sub_minima: list[int] = []
+    for s in range(salt_buckets):
+        sub = ids[salts == s]
+        if len(sub) == 0:
+            continue
+        sub_minima.append(int(sub[0]))
+        p, t = emit_group_pairs(sub, pair_cap)
+        pairs.extend(p)
+        truncated = truncated or t
+    for a, b in zip(sub_minima, sub_minima[1:]):
+        lo, hi = (a, b) if a < b else (b, a)
+        pairs.append((lo, hi))
+    return pairs, True, truncated
 
 
 class UnionFind:

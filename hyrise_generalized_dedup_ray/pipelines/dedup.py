@@ -1,0 +1,127 @@
+"""Flagship pipeline: near-duplicate detection + clustering over
+Parquet web pages — the Ray-Data recast of the reference's
+generalized-dedup encoders (SURVEY.md §0, §7).
+
+        read_parquet(pages)
+          → map_batches(extract)            stateless tasks (drops html)
+          → map_batches(SignerActor)        actor pool: shingles → MinHash/
+                                            SimHash/band keys/fingerprints
+          → [exact edges]   groupby(text_hash)
+          → [LSH pairs]     band explode → hot-band count → salted groupby
+                            → candidates → join texts → exact Jaccard
+          → [substr edges]  fingerprint groupby → docset dedup → join texts
+                            → per-partition suffix array
+          → union-find      star-contraction rounds (or driver finisher)
+          → labels          (url, doc_id, cluster)
+
+Every wide step's key is documented in the stage module; the html
+binary column is dropped at extraction so no shuffle ever carries it.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from hyrise_generalized_dedup_ray.config import (
+    DEFAULT_ENGINE_CONFIG,
+    DEFAULT_SIGNATURE_CONFIG,
+    EngineConfig,
+    SignatureConfig,
+)
+from hyrise_generalized_dedup_ray.stages.components import connected_components
+from hyrise_generalized_dedup_ray.stages.extract import extract_batch
+from hyrise_generalized_dedup_ray.stages.lsh import candidate_pairs
+from hyrise_generalized_dedup_ray.stages.signatures import SignerActor
+from hyrise_generalized_dedup_ray.stages.suffix import substring_edges
+from hyrise_generalized_dedup_ray.stages.verify import exact_dup_edges, verify_pairs
+
+
+def compute_signatures(
+    pages: Dataset,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+) -> Dataset:
+    """pages(url, warc_ts, html, …) → signer output (see stages.signatures)."""
+    extracted = pages.map_batches(
+        extract_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return extracted.map_batches(
+        SignerActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=eng.signature_batch_size,
+        concurrency=(1, eng.signature_concurrency),
+        num_cpus=1,
+    )
+
+
+def dedup_pages(
+    pages: Dataset,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+    num_partitions: int = 32,
+    force_distributed_cc: bool = False,
+) -> tuple[Dataset, dict]:
+    """Full flagship pipeline.  Returns ``(labels, metrics)`` where
+    ``labels`` has one row per input page: (url, doc_id, cluster) with
+    cluster = min doc_id of the duplicate component (own id when
+    unique)."""
+    metrics: dict = {}
+    t0 = time.perf_counter()
+
+    # signer output feeds four consumers — pin it once in the object
+    # store instead of re-running read+extract+sign per consumer.
+    signatures = compute_signatures(pages, cfg, eng).materialize()
+    metrics["docs"] = signatures.count()
+    metrics["t_signatures_s"] = round(time.perf_counter() - t0, 3)
+
+    docs = signatures.select_columns(["doc_id", "text"])
+
+    t1 = time.perf_counter()
+    exact = exact_dup_edges(signatures)
+    pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
+    metrics.update(lsh_metrics)
+    near = verify_pairs(pairs, docs, cfg,
+                        batch_size=eng.verify_batch_size,
+                        num_partitions=num_partitions)
+    substr = substring_edges(signatures, cfg, num_partitions)
+
+    edges = exact.union(near).union(substr).materialize()
+    metrics["edges"] = edges.count()
+    metrics["t_edges_s"] = round(time.perf_counter() - t1, 3)
+
+    t2 = time.perf_counter()
+    labels, cc_metrics = connected_components(
+        edges, eng, force_distributed=force_distributed_cc
+    )
+    metrics.update(cc_metrics)
+
+    # every page gets a label; non-duplicates label themselves
+    universe = signatures.select_columns(["url", "doc_id"])
+    joined = universe.join(
+        labels, join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def fill_own(batch: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(batch.column("cluster"), batch.column("doc_id"))
+        return batch.set_column(
+            batch.column_names.index("cluster"), "cluster", cluster
+        )
+
+    result = joined.map_batches(fill_own, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    result = result.materialize()
+    metrics["t_cluster_s"] = round(time.perf_counter() - t2, 3)
+    metrics["t_total_s"] = round(time.perf_counter() - t0, 3)
+    return result, metrics
+
+
+def dedup_pages_from_path(path: str, **kwargs) -> tuple[Dataset, dict]:
+    return dedup_pages(ray.data.read_parquet(path), **kwargs)

@@ -44,10 +44,11 @@ from hyrise_generalized_dedup_ray.functions.minhash import (
     simhash_signatures,
 )
 from hyrise_generalized_dedup_ray.functions.pairs import (
+    SUBSTR_MAX_GROUP,
     UnionFind,
+    band_group_candidates,
     chunk_with_anchor,
     docset_key,
-    emit_group_pairs,
 )
 from hyrise_generalized_dedup_ray.functions.substr import (
     cross_doc_repeats,
@@ -58,9 +59,6 @@ from hyrise_generalized_dedup_ray.functions.text import (
     jaccard_sorted,
     unique_shingle_sets,
 )
-
-SUBSTR_MAX_GROUP = 64  # docs per suffix-array partition (shared constant)
-
 
 @dataclass
 class OracleResult:
@@ -126,7 +124,10 @@ def reference_dedup(
             continue
         uniq = sorted(set(members))
         group_ids = np.asarray(sorted(int(ids[i]) for i in uniq))
-        pairs, _trunc = emit_group_pairs(group_ids, eng.max_pairs_per_band)
+        pairs, _salted, _trunc = band_group_candidates(
+            group_ids, eng.band_salt_threshold, eng.band_salt_buckets,
+            eng.max_pairs_per_band,
+        )
         candidates.update(pairs)
     id_to_idx = {int(ids[i]): i for i in range(n)}
     edges_jaccard: set[tuple[int, int]] = set()

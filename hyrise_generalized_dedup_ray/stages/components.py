@@ -1,0 +1,191 @@
+"""Distributed connected components over hash-partitioned edge lists —
+iterative star-contraction rounds.
+
+Implements the alternating large-star / small-star algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" /
+"Finding connected components in map-reduce in logarithmic rounds"
+(ICDE 2013, public literature — see PAPERS.md): each round is a
+``groupby(node).map_groups`` over the edge list (a hash-partitioned
+shuffle on the node id), converging in O(log n) rounds to star graphs
+whose centers are the component minima.
+
+- large-star: for every node u with neighborhood N(u) (edges in both
+  orientations), link every neighbor v > u to m = min(N(u) ∪ {u}).
+- small-star: orient edges (max→min); link every v in N(u) ∪ {u},
+  v ≠ m, to m = min(N(u) ∪ {u}).
+
+Convergence is detected by an order-insensitive edge-set checksum
+(sum of mix2(u,v) + count), computed with a per-batch partial
+aggregate.  A driver-side union-find finisher handles provably small
+edge sets (≤ EngineConfig.small_cc_threshold) — the distributed rounds
+are for the scale path where the edge list never fits one process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from hyrise_generalized_dedup_ray.config import EngineConfig
+from hyrise_generalized_dedup_ray.functions.hashing import mix2
+from hyrise_generalized_dedup_ray.functions.pairs import UnionFind
+
+
+def _both_orientations(batch: pa.Table) -> pa.Table:
+    a = batch.column("a").to_numpy(zero_copy_only=False)
+    b = batch.column("b").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+        "v": pa.array(np.concatenate([b, a]), type=pa.int64()),
+    })
+
+
+def _large_star_reduce(group: pa.Table) -> pa.Table:
+    u = int(group.column("u")[0].as_py())
+    nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
+    m = min(u, int(nbrs[0]))
+    bigger = nbrs[nbrs > u]
+    if len(bigger) == 0 or (m == u and len(bigger) == 0):
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    return pa.table({
+        "a": pa.array(np.minimum(bigger, m), type=pa.int64()),
+        "b": pa.array(np.maximum(bigger, m), type=pa.int64()),
+    })
+
+
+def _orient_max_min(batch: pa.Table) -> pa.Table:
+    a = batch.column("a").to_numpy(zero_copy_only=False)
+    b = batch.column("b").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "u": pa.array(np.maximum(a, b), type=pa.int64()),
+        "v": pa.array(np.minimum(a, b), type=pa.int64()),
+    })
+
+
+def _small_star_reduce(group: pa.Table) -> pa.Table:
+    u = int(group.column("u")[0].as_py())
+    nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
+    m = int(nbrs[0])  # all neighbors < u, so min(N ∪ {u}) = nbrs[0]
+    targets = np.concatenate([nbrs[nbrs != m], np.array([u], dtype=np.int64)])
+    targets = targets[targets != m]
+    return pa.table({
+        "a": pa.array(np.full(len(targets), m, dtype=np.int64)),
+        "b": pa.array(targets, type=pa.int64()),
+    })
+
+
+def _dedupe(edges: Dataset) -> Dataset:
+    from hyrise_generalized_dedup_ray.stages.lsh import dedupe_pairs
+
+    return dedupe_pairs(edges)
+
+
+def _checksum(edges: Dataset) -> tuple[int, int]:
+    """Order-insensitive (hash-sum, count) of the edge set."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        h = mix2(a, b)
+        # accumulate in int64-safe space: sum mod 2^63 via uint64 wraparound
+        with np.errstate(over="ignore"):
+            s = np.uint64(h.sum())
+        return pa.table({"s": pa.array([int(s % np.uint64(1 << 62))], type=pa.int64()),
+                         "n": pa.array([len(h)], type=pa.int64())})
+
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    return int(agg["s"] or 0) % (1 << 62), int(agg["n"] or 0)
+
+
+def star_contraction(edges: Dataset, eng: EngineConfig) -> tuple[Dataset, int]:
+    """Iterate large-star/small-star until the edge set is stable.
+
+    Returns ``(star_edges, rounds)``; ``star_edges`` connect each
+    non-minimum node of a component to the component minimum.
+    """
+    current = _dedupe(edges)
+    prev_sig = _checksum(current)
+    rounds = 0
+    for rounds in range(1, eng.cc_max_rounds + 1):
+        ls = (
+            current.map_batches(_both_orientations, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("u")
+            .map_groups(_large_star_reduce, batch_format="pyarrow")
+        )
+        ss = (
+            ls.map_batches(_orient_max_min, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("u")
+            .map_groups(_small_star_reduce, batch_format="pyarrow")
+        )
+        current = _dedupe(ss).materialize()
+        sig = _checksum(current)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return current, rounds
+
+
+def labels_from_star_edges(star_edges: Dataset) -> Dataset:
+    """Star edges → (doc_id, cluster) rows for every node in an edge."""
+
+    def node_min(group: pa.Table) -> pa.Table:
+        u = int(group.column("u")[0].as_py())
+        nbrs = group.column("v").to_numpy(zero_copy_only=False)
+        label = min(u, int(nbrs.min()))
+        return pa.table({"doc_id": pa.array([u], type=pa.int64()),
+                         "cluster": pa.array([label], type=pa.int64())})
+
+    return (
+        star_edges.map_batches(_both_orientations, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("u")
+        .map_groups(node_min, batch_format="pyarrow")
+    )
+
+
+def connected_components(
+    edges: Dataset, eng: EngineConfig, force_distributed: bool = False
+) -> tuple[Dataset, dict]:
+    """(a,b) edge Dataset → (doc_id, cluster) labels for edge nodes.
+
+    Uses the distributed star-contraction when the edge set is large
+    (or forced); otherwise finishes with a driver-side union-find —
+    the reference-style exact finisher for provably small inputs
+    (mirrors JoinHash's "smaller side builds" pragmatism,
+    join_hash.hpp:20-46).
+    """
+    metrics: dict = {}
+    n_edges = edges.count()
+    metrics["input_edges"] = n_edges
+    if force_distributed or n_edges > eng.small_cc_threshold:
+        star, rounds = star_contraction(edges, eng)
+        metrics["cc_mode"] = "star_contraction"
+        metrics["cc_rounds"] = rounds
+        return labels_from_star_edges(star), metrics
+
+    metrics["cc_mode"] = "driver_union_find"
+    uf = UnionFind()
+    nodes: set[int] = set()
+    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        for x, y in zip(a, b):
+            uf.union(int(x), int(y))
+        nodes.update(int(x) for x in a)
+        nodes.update(int(y) for y in b)
+    labels = uf.labels(nodes)
+    items = sorted(labels.items())
+    tbl = pa.table({
+        "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
+        "cluster": pa.array([v for _, v in items], type=pa.int64()),
+    })
+    return ray.data.from_arrow(tbl), metrics

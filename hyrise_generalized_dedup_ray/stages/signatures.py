@@ -1,0 +1,94 @@
+"""Signature stage: stateful actor pool computing per-document
+shingles → MinHash (128 perms) + SimHash (64 bit) + LSH band keys +
+winnowing fingerprints + text hash — one pass over each batch.
+
+This is the pipeline's analog of the reference's build-once encoder /
+index state (SURVEY.md §2.4): the permutation coefficient matrix is
+derived from ``SignatureConfig`` once per actor in ``__init__`` and
+reused for every batch (``map_batches(SignerActor, concurrency=N,
+batch_size=B)``), exactly the Hyrise pattern of constructing a
+GroupKeyIndex once and probing it per scan
+(group_key_index.hpp:53).
+
+Output schema (doc_id:int64, url:string, band_keys:list<int64>[bands],
+simhash:int64, num_shingles:int64, text_hash:int64,
+fingerprints:list<int64>, text:string).  All hash values are uint64 in
+the kernels and bit-cast to int64 at this boundary — Ray-visible
+schemas carry no uint64 (sort/shuffle boundary sampling is happier and
+pandas round-trips stay lossless).  The MinHash signature itself
+is not shipped — only its band keys are needed downstream, which cuts
+the shuffled signature payload from 128 to ``bands`` u64s per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hyrise_generalized_dedup_ray.config import SignatureConfig
+from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
+from hyrise_generalized_dedup_ray.functions.minhash import (
+    band_keys,
+    minhash_signatures,
+    simhash_signatures,
+)
+from hyrise_generalized_dedup_ray.functions.substr import winnow_fingerprints
+from hyrise_generalized_dedup_ray.functions.text import batch_shingles
+
+
+def doc_ids_for_urls(urls) -> np.ndarray:
+    """Deterministic int64 doc id from the url (stable across runs and
+    engines — the oracle uses the same function).  Top bit cleared so
+    ids are non-negative; 63-bit space is collision-safe at sandbox
+    scale (at a real 10^12-doc deployment this would widen to 128-bit)."""
+    return (hash_strings(urls) >> np.uint64(1)).astype(np.int64)
+
+
+class SignerActor:
+    """Callable class for ``map_batches`` actor pools."""
+
+    def __init__(self, cfg: SignatureConfig, with_fingerprints: bool = True):
+        self.cfg = cfg
+        self.with_fingerprints = with_fingerprints
+        # build the permutation family once per actor (not per batch)
+        self.perm_a, self.perm_b = cfg.perm_coefficients()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column("text").to_pylist()
+        urls = batch.column("url").to_pylist()
+        ids = doc_ids_for_urls(urls)
+
+        flat, offsets = batch_shingles(texts, cfg.shingle_n)
+        sig = minhash_signatures(flat, offsets, cfg)
+        sim = simhash_signatures(flat, offsets, cfg)
+        bands = band_keys(sig, cfg)
+        n_shingles = np.diff(offsets)
+        text_hash = hash_strings(texts)
+
+        cols: dict[str, pa.Array] = {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "band_keys": _list_of_u64(bands),
+            "simhash": pa.array(sim.view(np.int64), type=pa.int64()),
+            "num_shingles": pa.array(n_shingles, type=pa.int64()),
+            "text_hash": pa.array(text_hash.view(np.int64), type=pa.int64()),
+        }
+        if self.with_fingerprints:
+            fps = [winnow_fingerprints(t) for t in texts]
+            offs = np.zeros(len(fps) + 1, dtype=np.int32)
+            np.cumsum([len(f) for f in fps], out=offs[1:])
+            flat_fp = (np.concatenate(fps) if fps else np.empty(0, np.uint64))
+            cols["fingerprints"] = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat_fp.view(np.int64), type=pa.int64())
+            )
+        cols["text"] = pa.array(texts, type=pa.string())
+        return pa.table(cols)
+
+
+def _list_of_u64(mat: np.ndarray) -> pa.Array:
+    """(n, k) uint64 matrix → Arrow list<int64> array (bit-cast values)."""
+    n, k = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+    values = pa.array(mat.ravel().view(np.int64), type=pa.int64())
+    return pa.ListArray.from_arrays(offsets, values)

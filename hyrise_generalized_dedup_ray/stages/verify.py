@@ -1,0 +1,120 @@
+"""Candidate verification: exact shingle Jaccard on candidate pairs,
+plus exact-duplicate edges from text-hash groups.
+
+The reference never trusts an approximate structure — hash-join probes
+re-check keys, Bloom filters only *prune* (join_hash.hpp:54-58), and
+DISTINCT is exact (SURVEY.md §2.8).  Likewise here: LSH only proposes,
+the verdict is the exact Jaccard of the true shingle sets, recomputed
+from text inside the stage (shipping shingle *sets* through the
+shuffle would dwarf the text itself — SURVEY.md §7.5).
+
+Pair → text lookup is a hash-shuffle `Dataset.join` on doc_id (both
+sides large in general); a per-batch memo avoids re-shingling a text
+that appears in many pairs of the same batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from hyrise_generalized_dedup_ray.config import SignatureConfig
+from hyrise_generalized_dedup_ray.functions.text import (
+    batch_shingles,
+    jaccard_sorted,
+    unique_shingle_sets,
+)
+
+
+def attach_texts(
+    pairs: Dataset, docs: Dataset, num_partitions: int = 32
+) -> Dataset:
+    """(a,b) ⋈ docs(doc_id,text) twice → (a, b, text_a, text_b)."""
+    docs = docs.select_columns(["doc_id", "text"])
+    j1 = pairs.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"}).select_columns(["a", "b", "text_a"])
+    j2 = j1.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"}).select_columns(["a", "b", "text_a", "text_b"])
+    return j2
+
+
+class JaccardVerifier:
+    """Actor-pool batch verifier: exact shingle-set Jaccard ≥ threshold."""
+
+    def __init__(self, cfg: SignatureConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        # shingle each distinct text once per batch
+        uniq: dict[str, int] = {}
+        order: list[str] = []
+        for t in ta + tb:
+            if t not in uniq:
+                uniq[t] = len(order)
+                order.append(t)
+        flat, offsets = batch_shingles(order, cfg.shingle_n)
+        sets = unique_shingle_sets(flat, offsets)
+        jac = np.fromiter(
+            (jaccard_sorted(sets[uniq[x]], sets[uniq[y]]) for x, y in zip(ta, tb)),
+            dtype=np.float64, count=len(ta),
+        )
+        keep = jac >= cfg.jaccard_threshold
+        return pa.table({
+            "a": batch.column("a").filter(pa.array(keep)),
+            "b": batch.column("b").filter(pa.array(keep)),
+        })
+
+
+def verify_pairs(
+    pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
+    batch_size: int = 2048, num_partitions: int = 32,
+) -> Dataset:
+    """Candidate pairs → verified near-duplicate edges (a,b)."""
+    with_texts = attach_texts(pairs, docs, num_partitions)
+    return with_texts.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
+def exact_dup_edges(signatures: Dataset) -> Dataset:
+    """Edges between documents with byte-identical text.
+
+    groupby(text_hash) then an in-group regroup by the actual text to
+    rule out 64-bit hash collisions; star edges (min doc → others), the
+    same rule as the oracle.
+    """
+
+    def star(group: pa.Table) -> pa.Table:
+        texts = group.column("text").to_pylist()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        by_text: dict[str, list[int]] = {}
+        for t, d in zip(texts, ids):
+            by_text.setdefault(t, []).append(int(d))
+        a: list[int] = []
+        b: list[int] = []
+        for members in by_text.values():
+            members.sort()
+            a.extend(members[0] for _ in members[1:])
+            b.extend(members[1:])
+        return pa.table({
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+        })
+
+    return (
+        signatures.select_columns(["doc_id", "text", "text_hash"])
+        .groupby("text_hash")
+        .map_groups(star, batch_format="pyarrow")
+    )
