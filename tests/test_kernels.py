@@ -1,0 +1,195 @@
+"""Unit tests for the Ray-free kernels (functions/)."""
+
+import numpy as np
+import pytest
+
+from hyrise_generalized_dedup_ray.config import SignatureConfig
+from hyrise_generalized_dedup_ray.functions.hashing import hash_strings, mix2, splitmix64
+from hyrise_generalized_dedup_ray.functions.minhash import (
+    band_keys,
+    minhash_signatures,
+    simhash_signatures,
+)
+from hyrise_generalized_dedup_ray.functions.pairs import (
+    UnionFind,
+    band_group_candidates,
+    chunk_with_anchor,
+    emit_group_pairs,
+)
+from hyrise_generalized_dedup_ray.functions.substr import (
+    _sliding_min,
+    cross_doc_repeats,
+    gram_hashes,
+    winnow_fingerprints,
+)
+from hyrise_generalized_dedup_ray.functions.text import (
+    batch_shingles,
+    jaccard_sorted,
+    shingle_hashes,
+    tokenize_batch,
+    unique_shingle_sets,
+)
+
+CFG = SignatureConfig()
+
+
+def test_hash_strings_deterministic():
+    a = hash_strings(["foo", "bar", "foo"])
+    b = hash_strings(["foo", "bar", "foo"])
+    assert np.array_equal(a, b)
+    assert a[0] == a[2] and a[0] != a[1]
+    assert a.dtype == np.uint64
+
+
+def test_splitmix_mix2_shapes():
+    x = np.arange(10, dtype=np.uint64)
+    assert len(np.unique(splitmix64(x))) == 10
+    assert len(np.unique(mix2(x, x[::-1].copy()))) == 10
+
+
+def test_tokenize_csr_layout():
+    flat, off = tokenize_batch(["a b c", "", "d e"])
+    assert list(np.diff(off)) == [3, 0, 2]
+    assert len(flat) == 5
+
+
+def test_shingles_respect_doc_boundaries():
+    # two docs, n=3: no shingle may span the boundary
+    flat, off = tokenize_batch(["a b c d", "e f g"])
+    sh, soff = shingle_hashes(flat, off, 3)
+    assert list(np.diff(soff)) == [2, 1]
+    # boundary-crossing trigram (c d | e) absent: recompute single-doc
+    sh_one, _ = shingle_hashes(*tokenize_batch(["a b c d"]), 3)
+    assert np.array_equal(sh[:2], sh_one)
+
+
+def test_short_doc_has_zero_shingles():
+    flat, off = batch_shingles(["one two", "one two three four five six"], 5)
+    assert np.diff(off)[0] == 0 and np.diff(off)[1] == 2
+
+
+def test_minhash_identical_and_disjoint():
+    texts = ["w1 w2 w3 w4 w5 w6 w7 w8 " * 10,
+             "w1 w2 w3 w4 w5 w6 w7 w8 " * 10,
+             "x1 x2 x3 x4 x5 x6 x7 x8 " * 10]
+    flat, off = batch_shingles(texts, CFG.shingle_n)
+    sig = minhash_signatures(flat, off, CFG)
+    assert np.array_equal(sig[0], sig[1])
+    assert not np.array_equal(sig[0], sig[2])
+    sim = simhash_signatures(flat, off, CFG)
+    assert sim[0] == sim[1] != sim[2]
+    bk = band_keys(sig, CFG)
+    assert np.array_equal(bk[0], bk[1])
+    assert not np.any(bk[0] == bk[2])
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    base = [vocab[i] for i in rng.integers(0, 500, 400)]
+    variant = list(base)
+    for pos in rng.integers(0, 400, 20):  # 5% substitutions
+        variant[pos] = vocab[int(rng.integers(0, 500))]
+    texts = [" ".join(base), " ".join(variant)]
+    flat, off = batch_shingles(texts, CFG.shingle_n)
+    sets = unique_shingle_sets(flat, off)
+    true_j = jaccard_sorted(sets[0], sets[1])
+    sig = minhash_signatures(flat, off, CFG)
+    est = float(np.mean(sig[0] == sig[1]))
+    assert abs(est - true_j) < 0.15
+
+
+def test_winnow_guarantee_50_bytes():
+    shared = "sharedrunofbytesabcdefghijklmnopqrstuvwxyz0123456789"  # 52 bytes
+    assert len(shared) >= 50
+    t1 = "prefix one unrelated words " + shared + " tail aaa"
+    t2 = "other doc totally different " + shared + " zzz ending"
+    assert len(np.intersect1d(winnow_fingerprints(t1), winnow_fingerprints(t2))) > 0
+
+
+def test_winnow_no_shared_fp_for_short_overlap():
+    # shared run of only ~20 bytes: guarantee does not apply; usually no fp
+    t1 = "aaaa bbbb cccc dddd shortsharedrun eeee ffff gggg hhhh iiii jjjj"
+    t2 = "kkkk llll mmmm nnnn shortsharedrun oooo pppp qqqq rrrr ssss tttt"
+    inter = np.intersect1d(winnow_fingerprints(t1), winnow_fingerprints(t2))
+    assert len(inter) == 0
+
+
+def test_sliding_min_brute():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 10**6, 257).astype(np.uint64)
+    for w in (1, 2, 19, 64):
+        got = _sliding_min(x, w)
+        brute = np.array([x[i:i + w].min() for i in range(len(x) - w + 1)],
+                         dtype=np.uint64)
+        assert np.array_equal(got, brute)
+
+
+def test_gram_hash_equal_windows():
+    data = b"abcdefgh" * 10
+    h = gram_hashes(data, 8)
+    assert h[0] == h[8]
+    assert h[0] != h[1]
+
+
+def test_cross_doc_repeats_finds_and_clamps():
+    shared = b"X" * 0 + b"the entire shared verbatim substring is long enough!!"
+    assert len(shared) >= 50
+    t1 = b"aaa " + shared + b" bbb"
+    t2 = b"ccc " + shared + b" ddd"
+    t3 = b"totally unrelated content with nothing shared at all, padding"
+    assert cross_doc_repeats([t1, t2, t3], 50) == [(0, 1)]
+    # below threshold: nothing
+    assert cross_doc_repeats([t1, t2, t3], len(shared) + 10) == []
+
+
+def test_cross_doc_repeats_no_cross_boundary_match():
+    # identical *concatenation boundaries* must not fabricate matches
+    a = b"A" * 30
+    b = b"B" * 30
+    assert cross_doc_repeats([a + b"|" + b, a + b"|" + b], 50) != []  # true dup
+    assert cross_doc_repeats([a, b], 50) == []
+
+
+def test_emit_group_pairs_cap_and_connectivity():
+    ids = np.arange(10, dtype=np.int64)
+    pairs, trunc = emit_group_pairs(ids, 100)
+    assert not trunc and len(pairs) == 45
+    pairs, trunc = emit_group_pairs(ids, 10)
+    assert trunc
+    # star+ring preserves connectivity
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    assert len({uf.find(i) for i in range(10)}) == 1
+
+
+def test_band_group_candidates_salting_connectivity():
+    ids = np.arange(1000, dtype=np.int64)
+    pairs, salted, _ = band_group_candidates(ids, salt_threshold=256,
+                                             salt_buckets=16, pair_cap=10_000)
+    assert salted
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    assert len({uf.find(i) for i in range(1000)}) == 1
+
+
+def test_chunk_with_anchor():
+    ids = np.arange(100, dtype=np.int64)
+    chunks = chunk_with_anchor(ids, 10)
+    assert all(len(c) <= 10 for c in chunks)
+    assert all(c[0] == 0 for c in chunks)
+    covered = {x for c in chunks for x in c}
+    assert covered == set(range(100))
+
+
+def test_union_find_min_label():
+    uf = UnionFind()
+    uf.union(5, 3)
+    uf.union(3, 9)
+    uf.union(100, 200)
+    labels = uf.labels([3, 5, 9, 100, 200, 7])
+    assert labels[3] == labels[5] == labels[9] == 3
+    assert labels[100] == labels[200] == 100
+    assert labels[7] == 7
