@@ -72,6 +72,22 @@ class SignatureConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def signature_hash(self) -> str:
+        """Hash of only the fields the *signature stage* depends on
+        (shingles/perms/bands/simhash/seed).  Verification thresholds
+        don't change signatures, so tightening ``jaccard_threshold``
+        must not invalidate a signatures checkpoint."""
+        fields = {
+            "shingle_n": self.shingle_n,
+            "num_perms": self.num_perms,
+            "bands": self.bands,
+            "rows_per_band": self.rows_per_band,
+            "simhash_bits": self.simhash_bits,
+            "seed": self.seed,
+        }
+        payload = json.dumps(fields, sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
 
 @dataclass(frozen=True)
 class EngineConfig:

@@ -125,3 +125,89 @@ def dedup_pages(
 
 def dedup_pages_from_path(path: str, **kwargs) -> tuple[Dataset, dict]:
     return dedup_pages(ray.data.read_parquet(path), **kwargs)
+
+
+def run_dedup_checkpointed(
+    path: str,
+    ckpt_dir: str,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+    num_partitions: int = 32,
+    force_distributed_cc: bool = False,
+) -> tuple[Dataset, dict]:
+    """Resumable flagship run: each stage persists to
+    ``<ckpt_dir>/<stage>/`` with a lineage manifest
+    (state/checkpoint.py); a rerun after a crash (or a config change in
+    a *later* stage) resumes from the last completed checkpoint —
+    downstream consumers stream from Parquet, upstream work is skipped.
+
+    Stages: signatures → edges → labels.
+    """
+    from hyrise_generalized_dedup_ray.state.checkpoint import (
+        checkpoint_stage,
+        input_fingerprint_for_path,
+    )
+
+    metrics: dict = {}
+    t0 = time.perf_counter()
+    in_fp = input_fingerprint_for_path(path)
+    sig_hash = cfg.signature_hash()
+    eng_hash = f"{cfg.config_hash()}-{eng.config_hash()}-p{num_partitions}"
+
+    signatures, resumed_sig = checkpoint_stage(
+        "signatures", ckpt_dir, sig_hash, in_fp,
+        lambda: compute_signatures(ray.data.read_parquet(path), cfg, eng),
+    )
+    metrics["resumed_signatures"] = resumed_sig
+    metrics["docs"] = signatures.count()
+    metrics["t_signatures_s"] = round(time.perf_counter() - t0, 3)
+
+    t1 = time.perf_counter()
+
+    def build_edges() -> Dataset:
+        docs = signatures.select_columns(["doc_id", "text"])
+        exact = exact_dup_edges(signatures)
+        pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
+        metrics.update(lsh_metrics)
+        near = verify_pairs(pairs, docs, cfg,
+                            batch_size=eng.verify_batch_size,
+                            num_partitions=num_partitions)
+        substr = substring_edges(signatures, cfg, num_partitions)
+        return exact.union(near).union(substr)
+
+    edges, resumed_edges = checkpoint_stage(
+        "edges", ckpt_dir, eng_hash, in_fp, build_edges,
+    )
+    metrics["resumed_edges"] = resumed_edges
+    metrics["edges"] = edges.count()
+    metrics["t_edges_s"] = round(time.perf_counter() - t1, 3)
+
+    t2 = time.perf_counter()
+
+    def build_labels() -> Dataset:
+        labels, cc_metrics = connected_components(
+            edges, eng, force_distributed=force_distributed_cc
+        )
+        metrics.update(cc_metrics)
+        universe = signatures.select_columns(["url", "doc_id"])
+        joined = universe.join(
+            labels, join_type="left_outer", num_partitions=num_partitions,
+            on=("doc_id",),
+        )
+
+        def fill_own(batch: pa.Table) -> pa.Table:
+            cluster = pc.coalesce(batch.column("cluster"), batch.column("doc_id"))
+            return batch.set_column(
+                batch.column_names.index("cluster"), "cluster", cluster
+            )
+
+        return joined.map_batches(fill_own, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    result, resumed_labels = checkpoint_stage(
+        "labels", ckpt_dir, eng_hash, in_fp, build_labels,
+    )
+    metrics["resumed_labels"] = resumed_labels
+    metrics["t_cluster_s"] = round(time.perf_counter() - t2, 3)
+    metrics["t_total_s"] = round(time.perf_counter() - t0, 3)
+    return result, metrics

@@ -1,0 +1,118 @@
+"""Checkpointing with lineage manifests.
+
+Layout per stage::
+
+    <root>/<stage>/
+        part-*.parquet        (Ray-written partition files)
+        _lineage.json         {stage, config_hash, input_fingerprint,
+                               rows, files, engine_version, completed}
+
+Writes are atomic: the stage writes into ``<stage>.tmp/``, the manifest
+is written last, then the directory is renamed — a crashed run leaves
+either nothing or a complete, self-describing checkpoint.  A
+checkpoint is reused only when its ``config_hash`` and
+``input_fingerprint`` match; a config change silently invalidates all
+downstream state (the manifest mismatch forces recompute).
+
+This is the "resumable from checkpoint with per-partition lineage"
+piece of the north rule.  The reference has no analog (failed query =
+rerun, SURVEY.md §4.1); our model is closer to its BinaryWriter
+persistence path (import_export/binary/binary_writer.cpp) but with
+Parquet as the format and lineage as first-class metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import ray
+from ray.data import Dataset
+
+ENGINE_VERSION = "0.1.0"
+MANIFEST = "_lineage.json"
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, MANIFEST)
+
+
+def load_manifest(stage_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(stage_dir)) as f:
+            m = json.load(f)
+        return m if m.get("completed") else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def checkpoint_stage(
+    stage: str,
+    root: str,
+    config_hash: str,
+    input_fingerprint: str,
+    build: Callable[[], Dataset],
+    min_rows_per_file: int | None = None,
+) -> tuple[Dataset, bool]:
+    """Return ``(dataset, was_resumed)``.
+
+    If a completed checkpoint with matching lineage exists, read it
+    back (the stage is *skipped*).  Otherwise run ``build()``, persist
+    its output, then read back from the checkpoint so every downstream
+    consumer streams from Parquet rather than recomputing the stage.
+    """
+    stage_dir = os.path.join(root, stage)
+    m = load_manifest(stage_dir)
+    if m and m["config_hash"] == config_hash and m["input_fingerprint"] == input_fingerprint:
+        return ray.data.read_parquet(stage_dir), True
+
+    tmp_dir = stage_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    ds = build()
+    kwargs = {}
+    if min_rows_per_file:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    ds.write_parquet(tmp_dir, **kwargs)
+
+    files = sorted(
+        f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+    )
+    rows = ray.data.read_parquet(tmp_dir).count() if files else 0
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "input_fingerprint": input_fingerprint,
+        "rows": rows,
+        "files": files,
+        "engine_version": ENGINE_VERSION,
+        "written_at": time.time(),
+        "completed": True,
+    }
+    with open(_manifest_path(tmp_dir), "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(tmp_dir, stage_dir)
+    return ray.data.read_parquet(stage_dir), False
+
+
+def input_fingerprint_for_path(path: str) -> str:
+    """Cheap, stable fingerprint of a Parquet input: file names + sizes
+    + mtimes.  Content hashing 100 TB is not a checkpoint-time option;
+    size+mtime is the standard staleness proxy."""
+    entries = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(path, name))
+                entries.append((name, st.st_size, int(st.st_mtime)))
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+    import hashlib
+
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]

@@ -1,0 +1,77 @@
+"""Checkpoint/resume semantics: atomic manifests, lineage
+invalidation, stage skipping on rerun."""
+
+import json
+import os
+
+import pytest
+import ray.data
+
+from hyrise_generalized_dedup_ray.config import SignatureConfig
+from hyrise_generalized_dedup_ray.pipelines.dedup import run_dedup_checkpointed
+from hyrise_generalized_dedup_ray.sources.fixtures import pages_parquet_dir
+from hyrise_generalized_dedup_ray.state.checkpoint import (
+    checkpoint_stage,
+    input_fingerprint_for_path,
+    load_manifest,
+)
+
+
+def test_checkpoint_roundtrip_and_resume(ray_session, tmp_path):
+    root = str(tmp_path / "ckpt")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return ray.data.range(100)
+
+    ds1, resumed1 = checkpoint_stage("s1", root, "cfgA", "inA", build)
+    assert not resumed1 and ds1.count() == 100 and len(calls) == 1
+    m = load_manifest(os.path.join(root, "s1"))
+    assert m and m["rows"] == 100 and m["config_hash"] == "cfgA"
+
+    ds2, resumed2 = checkpoint_stage("s1", root, "cfgA", "inA", build)
+    assert resumed2 and ds2.count() == 100 and len(calls) == 1  # skipped
+
+    # config change invalidates
+    ds3, resumed3 = checkpoint_stage("s1", root, "cfgB", "inA", build)
+    assert not resumed3 and len(calls) == 2
+
+    # input change invalidates
+    _, resumed4 = checkpoint_stage("s1", root, "cfgB", "inB", build)
+    assert not resumed4 and len(calls) == 3
+
+
+def test_incomplete_checkpoint_not_reused(ray_session, tmp_path):
+    root = str(tmp_path / "ckpt")
+    stage_dir = os.path.join(root, "s2")
+    os.makedirs(stage_dir)
+    # parquet files but no manifest — simulated crash mid-write
+    assert load_manifest(stage_dir) is None
+    ds, resumed = checkpoint_stage("s2", root, "c", "i", lambda: ray.data.range(5))
+    assert not resumed and ds.count() == 5
+
+
+def test_flagship_checkpointed_run_resumes(ray_session, tmp_path):
+    fixture_dir = pages_parquet_dir(300, seed=7, root=str(tmp_path / "fx"))
+    path = os.path.join(fixture_dir, "pages.parquet")
+    ckpt = str(tmp_path / "run1")
+
+    labels1, m1 = run_dedup_checkpointed(path, ckpt, num_partitions=4)
+    assert not m1["resumed_signatures"] and not m1["resumed_edges"]
+    n1 = labels1.count()
+    assert n1 == 300
+
+    labels2, m2 = run_dedup_checkpointed(path, ckpt, num_partitions=4)
+    assert m2["resumed_signatures"] and m2["resumed_edges"] and m2["resumed_labels"]
+    assert labels2.count() == n1
+    # identical assignments across resume
+    df1 = labels1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df2 = labels2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df1["cluster"].tolist() == df2["cluster"].tolist()
+
+    # signature-config change invalidates everything downstream
+    cfg2 = SignatureConfig(jaccard_threshold=0.8)
+    _, m3 = run_dedup_checkpointed(path, ckpt, cfg=cfg2, num_partitions=4)
+    assert m3["resumed_signatures"]  # sig stage keyed on SignatureConfig… shared
+    assert not m3["resumed_edges"]
