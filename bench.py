@@ -1,0 +1,170 @@
+"""Benchmark harness — the driver runs this per-round and records the
+single JSON line it prints as BENCH_r{N}.json.
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+- flagship        near-dup detect + cluster over pages synthesized from
+                  the documents table (docs/sec is the north-star unit)
+- q1 / joins / topk   representative relational pipelines
+- minhash_pairs / ann  dedup + similarity-search ops
+
+``--scaling``: the two-cluster-size criterion's sandbox proxy — run the
+flagship in TWO FRESH PROCESSES at num_cpus=8 and num_cpus=32 over the
+same input and report both throughputs + scaling efficiency
+(eff = (T8/T32) / (32/8); ≥ 0.8 target per BASELINE.json north_rule).
+
+This script OWNS its Ray session (ray.init/shutdown) — the only places
+allowed to besides tests/conftest.py and the CLI tools.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _engine_config(num_cpus: int):
+    """Size the stateful actor pools to the session's CPU count — the
+    per-cluster-size tuning a real deployment sets per node shape."""
+    from dataclasses import replace
+
+    from hyrise_generalized_dedup_ray.config import DEFAULT_ENGINE_CONFIG
+
+    return replace(DEFAULT_ENGINE_CONFIG,
+                   signature_concurrency=max(4, num_cpus),
+                   verify_concurrency=max(4, num_cpus))
+
+
+def run_flagship(sf_dir: str, num_cpus: int, num_partitions: int | None = None,
+                 pages_fixture: int = 0) -> dict:
+    import ray
+
+    from hyrise_generalized_dedup_ray.pipelines.dedup import dedup_pages
+    from hyrise_generalized_dedup_ray.sources.fixtures import (
+        documents_as_pages, pages_parquet_dir)
+
+    if pages_fixture:
+        d = pages_parquet_dir(pages_fixture, seed=42)
+        pages = ray.data.read_parquet(os.path.join(d, "pages.parquet"))
+    else:
+        docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        pages = documents_as_pages(docs)
+    t0 = time.perf_counter()
+    labels, metrics = dedup_pages(pages, eng=_engine_config(num_cpus),
+                                  num_partitions=num_partitions)
+    n = labels.count()
+    dt = time.perf_counter() - t0
+    return {"secs": dt, "docs": n, "docs_per_sec": n / dt,
+            "edges": metrics.get("edges"), "hot_bands": metrics.get("hot_bands"),
+            "stage_secs": {k: v for k, v in metrics.items()
+                           if k.startswith("t_")}}
+
+
+def run_named_queries(sf_dir: str) -> dict:
+    """A representative slice of the suite; returns name → seconds."""
+    from hyrise_generalized_dedup_ray.pipelines import suite
+
+    names = ["q1_pricing_summary", "join_customer_nation_region",
+             "top_k_orders", "agg_stats_lineitem", "token_stats",
+             "minhash_lsh_pairs", "simhash_pairs", "embedding_dup_pairs",
+             "ann_brute_force"]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = suite.QUERIES[name](sf_dir)
+        # consume: count() drives the full pipeline without materializing
+        # more than counters on the driver
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
+               pages_fixture: int = 0) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        flag = run_flagship(sf_dir, num_cpus, pages_fixture=pages_fixture)
+        queries = {} if flagship_only else run_named_queries(sf_dir)
+    finally:
+        ray.shutdown()
+    return {"flagship": flag, "queries": queries}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run flagship at num_cpus=8 and 32 in fresh "
+                         "processes; report scaling efficiency")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--pages-fixture", type=int, default=0,
+                    help="run the flagship over the deterministic N-doc "
+                         "pages fixture instead of sf_dir documents")
+    ap.add_argument("--json-only", action="store_true",
+                    help="print only the JSON line (for subprocess use)")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    if args.scaling:
+        # two-cluster-size proxy: same input, fresh sessions at 8 and 32
+        # CPUs.  The input must be big enough that per-doc compute (not
+        # fixed stage latency) dominates — default 60k-page fixture.
+        ndocs = args.pages_fixture or int(
+            os.environ.get("GRAFT_SCALING_DOCS", "60000"))
+        from hyrise_generalized_dedup_ray.sources.fixtures import \
+            pages_parquet_dir
+        pages_parquet_dir(ndocs, seed=42)  # pre-generate outside the timers
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+                 "--flagship-only", "--json-only",
+                 "--pages-fixture", str(ndocs)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        tp8 = results[8]["flagship_docs_per_sec"]
+        tp32 = results[32]["flagship_docs_per_sec"]
+        eff = (tp32 / tp8) / (32 / 8)
+        out = {
+            "metric": "flagship dedup scaling efficiency (8→32 cpus, fresh sessions)",
+            "value": round(eff, 3), "unit": "efficiency",
+            "queries": {"docs_per_sec_cpus8": round(tp8, 1),
+                        "docs_per_sec_cpus32": round(tp32, 1),
+                        "secs_cpus8": results[8]["value"],
+                        "secs_cpus32": results[32]["value"],
+                        "scaling_docs": ndocs},
+            "sf": float(sf), "num_cpus": 32,
+        }
+        print(json.dumps(out))
+        return
+
+    r = bench_once(sf_dir, num_cpus, flagship_only=args.flagship_only,
+                   pages_fixture=args.pages_fixture)
+    out = {
+        "metric": "flagship dedup wall time (docs_per_sec in queries)",
+        "value": round(r["flagship"]["secs"], 3), "unit": "sec",
+        "queries": {**r["queries"],
+                    "flagship": round(r["flagship"]["secs"], 3)},
+        "flagship_docs_per_sec": round(r["flagship"]["docs_per_sec"], 1),
+        "sf": float(sf), "num_cpus": num_cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,7 @@ class EngineConfig:
     suffix_max_bucket_bytes: int = 64 * 1024 * 1024  # text cap per suffix-array partition
     suffix_rotations: int = 2            # hash-rotated re-bucketing rounds (recall for cross-bucket repeats)
     verify_batch_size: int = 2048        # candidate pairs per verification batch
+    verify_concurrency: int = 8          # Jaccard-verifier actor pool size
     small_cc_threshold: int = 2_000_000  # below this many edges, finish union-find on the driver
 
     def config_hash(self) -> str:

@@ -83,6 +83,39 @@ def batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     return shingle_hashes(tok, off, n)
 
 
+def char_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every n-gram of consecutive *bytes* (utf-8) per document —
+    the character-level counterpart of :func:`batch_shingles`, used by
+    the n-gram-Jaccard dedup operator.  One vectorized polynomial pass
+    over the concatenated byte array, windows crossing document
+    boundaries masked out.  CSR return like :func:`batch_shingles`."""
+    bufs = [t.encode("utf-8") if t else b"" for t in texts]
+    lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    total = len(flat)
+    ndocs = len(bufs)
+    if total < n:
+        return np.empty(0, dtype=np.uint64), np.zeros(ndocs + 1, dtype=np.int64)
+    num_windows = total - n + 1
+    h = np.zeros(num_windows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = h * _SHINGLE_A + flat[j : j + num_windows]
+    doc_lens = np.diff(offsets)
+    counts = np.maximum(doc_lens - (n - 1), 0)
+    sh_offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(counts, out=sh_offsets[1:])
+    valid = np.zeros(num_windows, dtype=bool)
+    starts = offsets[:-1]
+    ends = starts + counts
+    for i in range(ndocs):
+        if counts[i]:
+            valid[starts[i] : ends[i]] = True
+    return h[valid], sh_offsets
+
+
 def unique_shingle_sets(
     flat: np.ndarray, offsets: np.ndarray
 ) -> list[np.ndarray]:

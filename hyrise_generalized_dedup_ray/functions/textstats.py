@@ -1,0 +1,86 @@
+"""Text-analysis kernels for the large-scale training-data pipeline:
+token counting, quality scoring, language ID, document fingerprints.
+
+All the hot paths are vectorized: Arrow's RE2 kernels
+(``pc.count_substring_regex``, ``pc.utf8_length``) for the countable
+features, numpy for the scoring.  The same RE2 patterns are used by the
+DuckDB oracles (`regexp_extract_all`) so counts match exactly — both
+engines run RE2 semantics.
+
+The reference has no text analytics (its only string functions are
+SUBSTR/CONCAT/LIKE, function_expression.hpp:8-11); this module is part
+of the engine's training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# whitespace tokens; identical pattern in oracles
+TOKEN_RE = r"\S+"
+# BPE-ish pieces: letter runs, single digits, single punctuation marks —
+# a cheap proxy for byte-pair tokenizer piece counts
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "mit", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "por", "con"),
+    "zh": ("的", "是", "了", "我", "在", "有", "和", "不", "人", "这"),
+}
+
+
+def token_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token count per string (RE2 ``\\S+``)."""
+    return pc.count_substring_regex(texts, TOKEN_RE)
+
+
+def bpe_piece_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish piece count per string."""
+    return pc.count_substring_regex(texts, BPE_RE)
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document quality features, one vectorized pass:
+    n_chars, n_tokens, n_bpe_pieces, n_punct, mean_token_len.
+
+    ``mean_token_len`` = non-whitespace chars / tokens (0 for empty)."""
+    t = batch.column(text_col)
+    chars = pc.cast(pc.utf8_length(t), pa.int64())
+    toks = pc.cast(token_counts(t), pa.int64())
+    bpe = pc.cast(bpe_piece_counts(t), pa.int64())
+    punct = pc.cast(pc.count_substring_regex(t, PUNCT_RE), pa.int64())
+    ws = pc.cast(pc.count_substring_regex(t, r"\s"), pa.int64())
+    nonws = pc.subtract(chars, ws)
+    toks_np = toks.to_numpy(zero_copy_only=False).astype(np.float64)
+    nonws_np = nonws.to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mtl = np.where(toks_np > 0, nonws_np / toks_np, 0.0)
+    return pa.table({
+        "n_chars": chars, "n_tokens": toks, "n_bpe_pieces": bpe,
+        "n_punct": punct, "mean_token_len": pa.array(mtl, type=pa.float64()),
+    })
+
+
+def language_scores(texts: list[str]) -> tuple[list[str], np.ndarray]:
+    """Stopword-hit language ID: per text, the language whose stopword
+    list matches the most tokens (ties → lexicographic language code;
+    zero hits → 'und').  Returns (pred_langs, hit_count_matrix)."""
+    langs = sorted(STOPWORDS)
+    sw_sets = [frozenset(STOPWORDS[code]) for code in langs]
+    hits = np.zeros((len(texts), len(langs)), dtype=np.int64)
+    preds: list[str] = []
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        for j, sw in enumerate(sw_sets):
+            hits[i, j] = sum(1 for w in toks if w in sw)
+        if hits[i].max() == 0:
+            preds.append("und")
+        else:
+            preds.append(langs[int(hits[i].argmax())])
+    return preds, hits

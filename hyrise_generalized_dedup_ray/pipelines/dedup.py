@@ -65,13 +65,18 @@ def dedup_pages(
     pages: Dataset,
     cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
     eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     force_distributed_cc: bool = False,
 ) -> tuple[Dataset, dict]:
     """Full flagship pipeline.  Returns ``(labels, metrics)`` where
     ``labels`` has one row per input page: (url, doc_id, cluster) with
     cluster = min doc_id of the duplicate component (own id when
-    unique)."""
+    unique).
+
+    ``num_partitions=None`` sizes the shuffle fan-out from the corpus:
+    small inputs take few partitions (fixed per-partition overhead
+    dominates below ~1k docs/partition), capped at 256 for the scale
+    path where it would be set explicitly per cluster size."""
     metrics: dict = {}
     t0 = time.perf_counter()
 
@@ -80,6 +85,9 @@ def dedup_pages(
     signatures = compute_signatures(pages, cfg, eng).materialize()
     metrics["docs"] = signatures.count()
     metrics["t_signatures_s"] = round(time.perf_counter() - t0, 3)
+    if num_partitions is None:
+        num_partitions = int(min(256, max(4, metrics["docs"] // 1000)))
+    metrics["num_partitions"] = num_partitions
 
     docs = signatures.select_columns(["doc_id", "text"])
 
@@ -89,7 +97,8 @@ def dedup_pages(
     metrics.update(lsh_metrics)
     near = verify_pairs(pairs, docs, cfg,
                         batch_size=eng.verify_batch_size,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions,
+                        concurrency=eng.verify_concurrency)
     substr = substring_edges(signatures, cfg, num_partitions)
 
     edges = exact.union(near).union(substr).materialize()
@@ -103,9 +112,12 @@ def dedup_pages(
     metrics.update(cc_metrics)
 
     # every page gets a label; non-duplicates label themselves
+    from hyrise_generalized_dedup_ray.util import heal_blocks
+
     universe = signatures.select_columns(["url", "doc_id"])
     joined = universe.join(
-        labels, join_type="left_outer", num_partitions=num_partitions,
+        heal_blocks(labels, max(2, num_partitions // 4)),
+        join_type="left_outer", num_partitions=num_partitions,
         on=("doc_id",),
     )
 
@@ -171,7 +183,8 @@ def run_dedup_checkpointed(
         metrics.update(lsh_metrics)
         near = verify_pairs(pairs, docs, cfg,
                             batch_size=eng.verify_batch_size,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            concurrency=eng.verify_concurrency)
         substr = substring_edges(signatures, cfg, num_partitions)
         return exact.union(near).union(substr)
 
@@ -185,13 +198,16 @@ def run_dedup_checkpointed(
     t2 = time.perf_counter()
 
     def build_labels() -> Dataset:
+        from hyrise_generalized_dedup_ray.util import heal_blocks
+
         labels, cc_metrics = connected_components(
             edges, eng, force_distributed=force_distributed_cc
         )
         metrics.update(cc_metrics)
         universe = signatures.select_columns(["url", "doc_id"])
         joined = universe.join(
-            labels, join_type="left_outer", num_partitions=num_partitions,
+            heal_blocks(labels, max(2, num_partitions // 4)),
+            join_type="left_outer", num_partitions=num_partitions,
             on=("doc_id",),
         )
 

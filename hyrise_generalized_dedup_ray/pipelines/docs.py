@@ -1,0 +1,226 @@
+"""Dedup operator family over a plain documents table (doc_id, text) —
+each of the engine's near-dup methods exposed as its own pipeline:
+
+- exact              (hash-partition on text, min-id per group)
+- MinHash + LSH      (shingle → minhash → band → salted groupby → verify)
+- SimHash            (64-bit, pigeonhole band blocking, exact Hamming)
+- n-gram Jaccard     (char n-gram MinHash LSH, exact char-set verify)
+- embedding cosine   (stages/embed_dedup.py)
+
+These are the flagship's stages re-pointed at the TPC-H-ish
+``documents`` test table; the flagship itself (pipelines/dedup.py)
+composes the same stages over web pages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from hyrise_generalized_dedup_ray.config import (
+    DEFAULT_ENGINE_CONFIG,
+    DEFAULT_SIGNATURE_CONFIG,
+    EngineConfig,
+    SignatureConfig,
+)
+from hyrise_generalized_dedup_ray.functions.minhash import minhash_signatures, band_keys
+from hyrise_generalized_dedup_ray.functions.text import (
+    char_shingles,
+    jaccard_sorted,
+    unique_shingle_sets,
+)
+from hyrise_generalized_dedup_ray.stages.lsh import candidate_pairs, dedupe_pairs
+from hyrise_generalized_dedup_ray.stages.signatures import SignerActor, _list_of_u64
+from hyrise_generalized_dedup_ray.stages.verify import verify_pairs
+
+
+def sign_docs(
+    docs: Dataset,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+) -> Dataset:
+    """documents(doc_id, text, …) → signer output (stages/signatures.py)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        SignerActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=eng.signature_batch_size,
+        concurrency=(1, eng.signature_concurrency),
+        num_cpus=1,
+    )
+
+
+def exact_dedup_docs(docs: Dataset) -> Dataset:
+    """One row per distinct text: (doc_id = min id, n_copies).
+
+    The reference's SELECT DISTINCT lowering — group by the value,
+    no aggregate (sql_translator.cpp:1148) — plus the dictionary
+    encoder's pick-one-representative semantics
+    (dictionary_encoder.hpp:61-66).  ONE shuffle keyed on text."""
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="rep_id"),
+                   Count(alias_name="n_copies"))
+        .select_columns(["rep_id", "n_copies"])
+    )
+
+
+def minhash_dup_pairs(
+    docs: Dataset,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Verified near-duplicate pairs (a,b), a<b, exact token-shingle
+    Jaccard ≥ cfg.jaccard_threshold, candidates from MinHash LSH."""
+    sigs = sign_docs(docs, cfg, eng).materialize()
+    pairs, _ = candidate_pairs(sigs, eng, num_partitions)
+    texts = sigs.select_columns(["doc_id", "text"])
+    return verify_pairs(pairs, texts, cfg,
+                        batch_size=eng.verify_batch_size,
+                        num_partitions=num_partitions)
+
+
+def simhash_near_dup_pairs(
+    docs: Dataset,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+    max_hamming: int = 3,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Blocking by pigeonhole: split the 64-bit simhash into
+    ``max_hamming+1`` chunks — any pair within distance d agrees on at
+    least one chunk, so grouping by (chunk_idx, chunk_value) has recall
+    1.0; exact Hamming check inside the group restores precision.
+    ONE groupby shuffle keyed on (chunk_idx, chunk_value)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sigs = sign_docs(docs, replace(cfg), eng)
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["num_shingles"], 0))
+        sim = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_key, out_id, out_sim = [], [], []
+        for c in range(n_chunks):
+            shift = np.uint64(c * chunk_bits)
+            mask = np.uint64((1 << chunk_bits) - 1)
+            chunk = (sim >> shift) & mask
+            # key packs (chunk idx, value): distinct per c (≤32 chunks)
+            key = (chunk.astype(np.int64) << np.int64(5)) | np.int64(c)
+            out_key.append(key)
+            out_id.append(ids)
+            out_sim.append(sim.view(np.int64))
+        return pa.table({
+            "block_key": pa.array(np.concatenate(out_key), type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            "simhash": pa.array(np.concatenate(out_sim), type=pa.int64()),
+        })
+
+    exploded = sigs.select_columns(["doc_id", "simhash", "num_shingles"]).map_batches(
+        explode_chunks, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sims = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        _, first = np.unique(ids, return_index=True)
+        ids, sims = ids[first], sims[first]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        xor = sims[:, None] ^ sims[None, :]
+        # vectorized popcount via uint8 view + bit_count table
+        pop = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8),
+                            axis=2).sum(axis=2)
+        ai, bi = np.nonzero(np.triu(pop <= max_hamming, k=1))
+        a, b = ids[ai], ids[bi]
+        return pa.table({
+            "a": pa.array(np.minimum(a, b), type=pa.int64()),
+            "b": pa.array(np.maximum(a, b), type=pa.int64()),
+        })
+
+    raw = exploded.groupby("block_key").map_groups(block_pairs,
+                                                   batch_format="pyarrow")
+    return dedupe_pairs(raw)
+
+
+class _CharJaccardVerifier:
+    """Exact char-n-gram Jaccard on candidate pairs (actor pool)."""
+
+    def __init__(self, n: int, tau: float):
+        self.n, self.tau = n, tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        uniq: dict[str, int] = {}
+        order: list[str] = []
+        for t in ta + tb:
+            if t not in uniq:
+                uniq[t] = len(order)
+                order.append(t)
+        flat, offsets = char_shingles(order, self.n)
+        sets = unique_shingle_sets(flat, offsets)
+        jac = np.fromiter(
+            (jaccard_sorted(sets[uniq[x]], sets[uniq[y]]) for x, y in zip(ta, tb)),
+            dtype=np.float64, count=len(ta))
+        keep = jac >= self.tau
+        return pa.table({
+            "a": batch.column("a").filter(pa.array(keep)),
+            "b": batch.column("b").filter(pa.array(keep)),
+        })
+
+
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    n: int = 8,
+    tau: float = 0.7,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Near-dup pairs by exact char-n-gram Jaccard ≥ τ; candidates from
+    a MinHash LSH over the SAME char shingles (shared S-curve machinery
+    — only the shingle kernel differs from the token pipeline)."""
+
+    class CharSigner:
+        def __init__(self, cfg_: SignatureConfig):
+            self.cfg = cfg_
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            flat, offsets = char_shingles(texts, n)
+            sig = minhash_signatures(flat, offsets, self.cfg)
+            bands = band_keys(sig, self.cfg)
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "band_keys": _list_of_u64(bands),
+                "num_shingles": pa.array(np.diff(offsets), type=pa.int64()),
+                "text": batch.column("text"),
+            })
+
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        CharSigner, fn_constructor_args=(cfg,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=eng.signature_batch_size,
+        concurrency=(1, eng.signature_concurrency), num_cpus=1,
+    ).materialize()
+    pairs, _ = candidate_pairs(sigs, eng, num_partitions)
+    from hyrise_generalized_dedup_ray.stages.verify import attach_texts
+    with_texts = attach_texts(pairs, sigs.select_columns(["doc_id", "text"]),
+                              num_partitions)
+    return with_texts.map_batches(
+        _CharJaccardVerifier, fn_constructor_args=(n, tau),
+        batch_format="pyarrow", batch_size=eng.verify_batch_size,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,665 @@
+"""Driver-facing query suite: every implemented operator/pipeline from
+SURVEY.md §2 as a named callable ``(sf_dir) -> Dataset | pa.Table``,
+with a DuckDB oracle twin in :data:`ORACLE_SQL` where the semantics are
+SQL-expressible (the reference's SQLite/DuckDB-oracle test strategy,
+SURVEY.md §5).
+
+Float discipline (driver hashes values): per-row float arithmetic is
+IEEE-deterministic and shipped raw; ORDER-DEPENDENT float aggregates
+(SUM/AVG/STDDEV) are scaled and rounded to integers on BOTH sides
+(``CAST(ROUND(x*100) AS BIGINT)``) so a 1e-12 association-order
+difference cannot flip the hash.  Column names match the SQL aliases
+exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from datetime import datetime
+
+from hyrise_generalized_dedup_ray import relational as R
+from hyrise_generalized_dedup_ray.relational import (
+    agg, aggregate, anti_join, between, case, cast, col, concat, distinct,
+    extract, hash_join, in_, like, limit, lit, load_table, product, projection,
+    round_, semi_join, substr, table_scan, top_k, trunc, union_all,
+)
+
+I64 = pa.int64()
+
+
+def _e_int(x, scale: float = 100.0):
+    """float expr → CAST(ROUND(x*scale) AS BIGINT) (matches the SQL twin)."""
+    return cast(round_(col(x) * lit(float(scale))), I64) if isinstance(x, str) \
+        else cast(round_(x * lit(float(scale))), I64)
+
+
+# --------------------------------------------------------------------------
+# relational queries (reference operator coverage)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TableScan + Projection + AggregateHash (TPC-H Q1 shape)."""
+    li = load_table(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate"])
+    f = table_scan(li, col("l_shipdate") <= lit(datetime(1998, 9, 2)))
+    p = projection(f, {
+        "l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+        "l_quantity": "l_quantity", "l_extendedprice": "l_extendedprice",
+        "disc_price": col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "charge": col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                  * (lit(1.0) + col("l_tax")),
+    })
+    a = aggregate(p, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": agg("sum", "l_quantity"),
+        "sum_base": agg("sum", "l_extendedprice"),
+        "sum_disc": agg("sum", "disc_price"),
+        "sum_charge": agg("sum", "charge"),
+        "avg_qty": agg("avg", "l_quantity"),
+        "count_order": agg("count_star"),
+    }).repartition(2)
+    return projection(a, {
+        "l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+        "sum_qty_c": _e_int("sum_qty"),
+        "sum_base_c": _e_int("sum_base"),
+        "sum_disc_c": _e_int("sum_disc"),
+        "sum_charge_c": _e_int("sum_charge"),
+        "avg_qty_e6": _e_int("avg_qty", 1e6),
+        "count_order": "count_order",
+    })
+
+
+def filter_project_scan(sf_dir: str):
+    """TableScan compound predicate + column pruning at the read."""
+    o = load_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_totalprice"])
+    f = table_scan(o, (col("o_orderstatus") == lit("O"))
+                   & between(col("o_totalprice"), 50_000.0, 200_000.0))
+    return projection(f, {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
+                          "o_totalprice": "o_totalprice"})
+
+
+def scalar_functions(sf_dir: str):
+    """SUBSTR / CONCAT / CASE / CAST — the reference's scalar surface."""
+    c = load_table(sf_dir, "customer")
+    return projection(c, {
+        "c_custkey": "c_custkey",
+        "pfx": substr(col("c_name"), 1, 10),
+        "label": concat(col("c_mktsegment"), lit("#"), col("c_custkey")),
+        "tier": case((col("c_acctbal") < lit(0.0), lit("neg")),
+                     (col("c_acctbal") < lit(5000.0), lit("mid")),
+                     else_=lit("high")),
+        "bal_int": cast(trunc(col("c_acctbal")), I64),
+    })
+
+
+def extract_groupby(sf_dir: str):
+    """EXTRACT on native timestamps + AggregateHash."""
+    ev = load_table(sf_dir, "events", columns=["ts", "value"])
+    p = projection(ev, {"y": extract("year", col("ts")),
+                        "m": extract("month", col("ts")),
+                        "d": extract("day", col("ts")),
+                        "value": "value"})
+    a = aggregate(p, ["y", "m", "d"], {
+        "n": agg("count_star"), "sum_value": agg("sum", "value"),
+    }).repartition(2)
+    return projection(a, {"y": "y", "m": "m", "d": "d", "n": "n",
+                          "sum_value_c": _e_int("sum_value")})
+
+
+def like_in_between_scan(sf_dir: str):
+    """LIKE / IN / BETWEEN predicates (like_matcher, in_expression)."""
+    p = load_table(sf_dir, "part")
+    f = table_scan(p, (like(col("p_type"), "MEDIUM%")
+                       | like(col("p_name"), "%rod%"))
+                   & between(col("p_size"), 10, 40)
+                   & in_(col("p_brand"), ["Brand#1", "Brand#2", "Brand#3", "Brand#4",
+                        "Brand#5", "Brand#6", "Brand#7", "Brand#8"]))
+    return projection(f, {"p_partkey": "p_partkey", "p_brand": "p_brand",
+                          "p_size": "p_size"})
+
+
+def top_k_orders(sf_dir: str):
+    """Sort + Limit as a scalable local-top-k (no full sort shuffle)."""
+    o = load_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return top_k(o, "o_totalprice", 100, descending=True,
+                 tiebreak="o_orderkey")
+
+
+def join_customer_nation_region(sf_dir: str):
+    """JoinHash inner chain + AggregateHash over the join result."""
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey",
+                                                "c_acctbal"])
+    n = load_table(sf_dir, "nation")
+    r = load_table(sf_dir, "region")
+    cn = hash_join(c, n, on=["c_nationkey"], right_on=["n_nationkey"],
+                   num_partitions=8)
+    cnr = hash_join(cn, r, on=["n_regionkey"], right_on=["r_regionkey"],
+                    num_partitions=8)
+    a = aggregate(cnr, ["r_name"], {
+        "n_customers": agg("count_star"), "sum_bal": agg("sum", "c_acctbal"),
+    }).repartition(2)
+    return projection(a, {"r_name": "r_name", "n_customers": "n_customers",
+                          "sum_bal_c": _e_int("sum_bal")})
+
+
+def left_join_order_counts(sf_dir: str):
+    """JoinHash Left mode: customers keep rows without orders."""
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    o = load_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = c.join(o, join_type="left_outer", num_partitions=8,
+               on=("c_custkey",), right_on=("o_custkey",))
+    return aggregate(j, ["c_mktsegment"], {
+        "n_orders": agg("count", "o_orderkey"),
+        "n_rows": agg("count_star"),
+    })
+
+
+def semi_join_rich(sf_dir: str):
+    """JoinHash Semi mode via broadcast (Bloom-filter endpoint)."""
+    o = load_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority",
+                                              "o_totalprice"])
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    rich = table_scan(c, col("c_acctbal") > lit(7500.0)).select_columns(["c_custkey"])
+    s = semi_join(o, rich, on=["o_custkey"], right_on=["c_custkey"])
+    a = aggregate(s, ["o_orderpriority"], {
+        "n": agg("count_star"), "sum_price": agg("sum", "o_totalprice"),
+    }).repartition(2)
+    return projection(a, {"o_orderpriority": "o_orderpriority", "n": "n",
+                          "sum_price_c": _e_int("sum_price")})
+
+
+def anti_join_quiet_customers(sf_dir: str):
+    """JoinHash Anti mode: customers with no big order."""
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    o = load_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = table_scan(o, col("o_totalprice") > lit(400_000.0)).select_columns(["o_custkey"])
+    a = anti_join(c, big, on=["c_custkey"], right_on=["o_custkey"])
+    return aggregate(a, ["c_mktsegment"], {"n_quiet": agg("count_star")})
+
+
+def cross_product_regions(sf_dir: str):
+    """Product (cross join) — broadcast right side."""
+    r1 = load_table(sf_dir, "region")
+    r2_tbl = pa.concat_tables(
+        [t for t in ray.get(load_table(sf_dir, "region").to_arrow_refs())
+         if t.num_columns > 0]
+    ).rename_columns(["r2_regionkey", "r2_name"])
+    pr = product(r1, r2_tbl)
+    return projection(pr, {"r_name": "r_name", "r2_name": "r2_name"})
+
+
+def set_union_nations(sf_dir: str):
+    """UnionAll + DISTINCT (UNION)."""
+    c = projection(load_table(sf_dir, "customer"), {"k": "c_nationkey"})
+    s = projection(load_table(sf_dir, "supplier"), {"k": "s_nationkey"})
+    return R.union_distinct(c, s)
+
+
+def set_intersect_nations(sf_dir: str):
+    c = projection(load_table(sf_dir, "customer"), {"k": "c_nationkey"})
+    s = projection(load_table(sf_dir, "supplier"), {"k": "s_nationkey"})
+    return R.intersect(c, s)
+
+
+def set_except_parts(sf_dir: str):
+    """Difference/EXCEPT: part keys never appearing in lineitem."""
+    p = projection(load_table(sf_dir, "part"), {"k": "p_partkey"})
+    li = load_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    big = projection(table_scan(li, col("l_quantity") > lit(45.0)),
+                     {"k": "l_partkey"})
+    return R.difference(p, big)
+
+
+def distinct_segments(sf_dir: str):
+    """SELECT DISTINCT lowering (sql_translator.cpp:1148)."""
+    return distinct(load_table(sf_dir, "customer"), ["c_mktsegment"])
+
+
+def agg_stats_lineitem(sf_dir: str):
+    """Min/Max/Sum/Avg/Std/CountDistinct — the full aggregate set
+    (abstract_aggregate_operator.hpp:17-110; Welford ≈ Std ddof=1)."""
+    li = load_table(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_quantity", "l_partkey", "l_discount"])
+    a = aggregate(li, ["l_returnflag"], {
+        "min_qty": agg("min", "l_quantity"),
+        "max_qty": agg("max", "l_quantity"),
+        "sum_disc": agg("sum", "l_discount"),
+        "std_qty": agg("std", "l_quantity"),
+        "nd_part": ("count_distinct", "l_partkey"),
+        "n": agg("count_star"),
+    }, num_partitions=4).repartition(2)
+    return projection(a, {
+        "l_returnflag": "l_returnflag",
+        "min_qty_c": _e_int("min_qty"), "max_qty_c": _e_int("max_qty"),
+        "sum_disc_e6": _e_int("sum_disc", 1e6),
+        "std_qty_e6": _e_int("std_qty", 1e6),
+        "nd_part": "nd_part", "n": "n",
+    })
+
+
+def global_count_distinct(sf_dir: str):
+    """COUNT(*) + COUNT(DISTINCT col) with no GROUP BY."""
+    li = load_table(sf_dir, "lineitem", columns=["l_partkey"])
+    n_rows = li.count()
+    nd = distinct(li, ["l_partkey"]).count()
+    return pa.table({"n_rows": pa.array([n_rows], type=I64),
+                     "nd_part": pa.array([nd], type=I64)})
+
+
+def events_by_type(sf_dir: str):
+    """Timestamp min/max (as epoch µs) + float avg per event_type."""
+    ev = load_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    p = projection(ev, {"event_type": "event_type",
+                        "ts_us": cast(col("ts"), I64), "value": "value"})
+    a = aggregate(p, ["event_type"], {
+        "n": agg("count_star"), "min_ts_us": agg("min", "ts_us"),
+        "max_ts_us": agg("max", "ts_us"), "sum_value": agg("sum", "value"),
+    }).repartition(2)
+    return projection(a, {"event_type": "event_type", "n": "n",
+                          "min_ts_us": "min_ts_us", "max_ts_us": "max_ts_us",
+                          "sum_value_c": _e_int("sum_value")})
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def token_stats(sf_dir: str):
+    """Token/BPE/punct counting per language (RE2 parity with oracle)."""
+    from hyrise_generalized_dedup_ray.functions.textstats import quality_features
+
+    docs = load_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        q = quality_features(batch)
+        return q.append_column("lang", batch.column("lang"))
+
+    f = docs.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+    return aggregate(f, ["lang"], {
+        "n_docs": agg("count_star"),
+        "sum_tokens": agg("sum", "n_tokens"),
+        "sum_bpe": agg("sum", "n_bpe_pieces"),
+        "sum_punct": agg("sum", "n_punct"),
+        "sum_chars": agg("sum", "n_chars"),
+    })
+
+
+def quality_filter(sf_dir: str):
+    """Quality-score gate: docs passing token-count / token-length /
+    punct-ratio thresholds (all-integer comparisons, oracle-parity)."""
+    from hyrise_generalized_dedup_ray.functions.textstats import quality_features
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        q = quality_features(batch)
+        toks = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        chars = q.column("n_chars").to_numpy(zero_copy_only=False)
+        punct = q.column("n_punct").to_numpy(zero_copy_only=False)
+        ws = pc.cast(pc.count_substring_regex(batch.column("text"), r"\s"),
+                     I64).to_numpy(zero_copy_only=False)
+        nonws = chars - ws
+        # all-integer comparisons — bit-for-bit the oracle's predicate
+        keep = (toks >= 20) & (nonws >= 3 * toks) & (nonws <= 12 * toks) \
+            & (punct * 10 < chars)
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+            "n_tokens": pa.array(toks[keep], type=I64),
+        })
+
+    return docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id(sf_dir: str):
+    """Stopword-heuristic language ID (no SQL oracle — heuristic)."""
+    from hyrise_generalized_dedup_ray.functions.textstats import language_scores
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        preds, _ = language_scores(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "pred_lang": pa.array(preds, type=pa.string()),
+        })
+
+    return docs.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_fingerprints(sf_dir: str):
+    """Winnowing fingerprint counts per doc (rolling-hash document
+    fingerprinting; no SQL oracle)."""
+    from hyrise_generalized_dedup_ray.functions.substr import winnow_fingerprints
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = [len(winnow_fingerprints(t)) for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_fingerprints": pa.array(counts, type=I64)})
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# dedup family over documents
+# --------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    from hyrise_generalized_dedup_ray.pipelines.docs import exact_dedup_docs
+    return exact_dedup_docs(load_table(sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(sf_dir: str):
+    from hyrise_generalized_dedup_ray.pipelines.docs import minhash_dup_pairs
+    return minhash_dup_pairs(load_table(sf_dir, "documents"),
+                             num_partitions=8)
+
+
+def simhash_pairs(sf_dir: str):
+    from hyrise_generalized_dedup_ray.pipelines.docs import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(load_table(sf_dir, "documents"),
+                                  max_hamming=3, num_partitions=8)
+
+
+def ngram_jaccard(sf_dir: str):
+    from hyrise_generalized_dedup_ray.pipelines.docs import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(load_table(sf_dir, "documents"),
+                               n=8, tau=0.7, num_partitions=8)
+
+
+def substring_dups(sf_dir: str):
+    """Suffix-array ≥50-byte shared-substring pairs over documents."""
+    from hyrise_generalized_dedup_ray.pipelines.docs import sign_docs
+    from hyrise_generalized_dedup_ray.stages.suffix import substring_edges
+    from hyrise_generalized_dedup_ray.config import (DEFAULT_ENGINE_CONFIG,
+                                                     DEFAULT_SIGNATURE_CONFIG)
+    sigs = sign_docs(load_table(sf_dir, "documents")).materialize()
+    return substring_edges(sigs, DEFAULT_SIGNATURE_CONFIG, num_partitions=8)
+
+
+EMBED_TAU = 0.42   # synthetic embeddings are near-orthogonal (max cos ≈ .51);
+                   # at real near-dup data this is 0.95 — the op is τ-generic
+
+
+def embedding_dup_pairs(sf_dir: str):
+    from hyrise_generalized_dedup_ray.stages.embed_dedup import (
+        embedding_near_dup_pairs)
+    pairs = embedding_near_dup_pairs(load_table(sf_dir, "embeddings"),
+                                     tau=EMBED_TAU)
+    return projection(pairs, {"a": "a", "b": "b",
+                              "sim_e6": _e_int("sim", 1e6)})
+
+
+def embedding_dup_pairs_lsh(sf_dir: str):
+    """Approximate LSH-bucketed variant (scale path; no oracle)."""
+    from hyrise_generalized_dedup_ray.stages.embed_dedup import (
+        embedding_near_dup_pairs_lsh)
+    return embedding_near_dup_pairs_lsh(load_table(sf_dir, "embeddings"),
+                                        tau=EMBED_TAU)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+ANN_K = 10
+ANN_NUM_QUERIES = 8
+
+
+def _query_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mask = np.nonzero(t.column("vec_id").to_numpy() < ANN_NUM_QUERIES)[0]
+    t = t.take(mask)
+    lists = t.column("embedding").combine_chunks()
+    mat = lists.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+    return t.column("vec_id").to_numpy(), mat.astype(np.float64)
+
+
+def ann_brute_force(sf_dir: str):
+    from hyrise_generalized_dedup_ray.stages.ann import brute_force_topk
+    qids, qmat = _query_matrix(sf_dir)
+    res = brute_force_topk(load_table(sf_dir, "embeddings"), qids, qmat,
+                           k=ANN_K)
+    return projection(res, {"query_id": "query_id", "vec_id": "vec_id",
+                            "sim_e6": _e_int("sim", 1e6)})
+
+
+def ann_lsh(sf_dir: str):
+    """Approximate hyperplane-bucketed ANN (scale path; no oracle)."""
+    from hyrise_generalized_dedup_ray.stages.ann import lsh_bucket_topk
+    qids, qmat = _query_matrix(sf_dir)
+    return lsh_bucket_topk(load_table(sf_dir, "embeddings"), qids, qmat,
+                           k=ANN_K)
+
+
+# --------------------------------------------------------------------------
+# multimodal + flagship
+# --------------------------------------------------------------------------
+
+def multimodal_decode(sf_dir: str):
+    from hyrise_generalized_dedup_ray.stages.multimodal import (
+        decode_media, documents_as_media)
+    docs = load_table(sf_dir, "documents")
+    return decode_media(documents_as_media(docs)).drop_columns(["features"])
+
+
+def flagship_dedup(sf_dir: str):
+    """The flagship near-dup pipeline over pages synthesized from the
+    documents table (rows-only driver check; full parity vs the
+    sequential oracle is pytest-gated, tests/test_dedup_pipeline.py)."""
+    from hyrise_generalized_dedup_ray.pipelines.dedup import dedup_pages
+    from hyrise_generalized_dedup_ray.sources.fixtures import documents_as_pages
+    pages = documents_as_pages(load_table(sf_dir, "documents"))
+    labels, _metrics = dedup_pages(pages, num_partitions=8)
+    return labels
+
+
+# --------------------------------------------------------------------------
+# registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_project_scan": filter_project_scan,
+    "scalar_functions": scalar_functions,
+    "extract_groupby": extract_groupby,
+    "like_in_between_scan": like_in_between_scan,
+    "top_k_orders": top_k_orders,
+    "join_customer_nation_region": join_customer_nation_region,
+    "left_join_order_counts": left_join_order_counts,
+    "semi_join_rich": semi_join_rich,
+    "anti_join_quiet_customers": anti_join_quiet_customers,
+    "cross_product_regions": cross_product_regions,
+    "set_union_nations": set_union_nations,
+    "set_intersect_nations": set_intersect_nations,
+    "set_except_parts": set_except_parts,
+    "distinct_segments": distinct_segments,
+    "agg_stats_lineitem": agg_stats_lineitem,
+    "global_count_distinct": global_count_distinct,
+    "events_by_type": events_by_type,
+    "token_stats": token_stats,
+    "quality_filter": quality_filter,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "exact_dedup": exact_dedup,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_pairs": simhash_pairs,
+    "ngram_jaccard": ngram_jaccard,
+    "substring_dups": substring_dups,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "ann_brute_force": ann_brute_force,
+    "ann_lsh": ann_lsh,
+    "multimodal_decode": multimodal_decode,
+    "flagship_dedup": flagship_dedup,
+}
+
+_TOKEN_RE = r"\S+"
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+_PUNCT_RE = r"[^\w\s]"
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity)*100) AS BIGINT) AS sum_qty_c,
+               CAST(ROUND(SUM(l_extendedprice)*100) AS BIGINT) AS sum_base_c,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS sum_disc_c,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax))*100) AS BIGINT) AS sum_charge_c,
+               CAST(ROUND(AVG(l_quantity)*1000000) AS BIGINT) AS avg_qty_e6,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "filter_project_scan": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 50000 AND 200000
+    """,
+    "scalar_functions": """
+        SELECT c_custkey,
+               SUBSTR(c_name, 1, 10) AS pfx,
+               c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS label,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
+               CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_int
+        FROM customer
+    """,
+    "extract_groupby": """
+        SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+               CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+               CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "like_in_between_scan": """
+        SELECT p_partkey, p_brand, p_size FROM part
+        WHERE (p_type LIKE 'MEDIUM%' OR p_name LIKE '%rod%')
+          AND p_size BETWEEN 10 AND 40
+          AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5','Brand#6','Brand#7','Brand#8')
+    """,
+    "top_k_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "join_customer_nation_region": """
+        SELECT r_name, COUNT(*) AS n_customers,
+               CAST(ROUND(SUM(c_acctbal)*100) AS BIGINT) AS sum_bal_c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "left_join_order_counts": """
+        SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+               COUNT(*) AS n_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "semi_join_rich": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(o_totalprice)*100) AS BIGINT) AS sum_price_c
+        FROM orders WHERE o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        GROUP BY o_orderpriority
+    """,
+    "anti_join_quiet_customers": """
+        SELECT c_mktsegment, COUNT(*) AS n_quiet FROM customer
+        WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY c_mktsegment
+    """,
+    "cross_product_regions": """
+        SELECT a.r_name AS r_name, b.r_name AS r2_name
+        FROM region a CROSS JOIN region b
+    """,
+    "set_union_nations": """
+        SELECT c_nationkey AS k FROM customer
+        UNION SELECT s_nationkey AS k FROM supplier
+    """,
+    "set_intersect_nations": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT SELECT s_nationkey AS k FROM supplier
+    """,
+    "set_except_parts": """
+        SELECT p_partkey AS k FROM part
+        EXCEPT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
+    """,
+    "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "agg_stats_lineitem": """
+        SELECT l_returnflag,
+               CAST(ROUND(MIN(l_quantity)*100) AS BIGINT) AS min_qty_c,
+               CAST(ROUND(MAX(l_quantity)*100) AS BIGINT) AS max_qty_c,
+               CAST(ROUND(SUM(l_discount)*1000000) AS BIGINT) AS sum_disc_e6,
+               CAST(ROUND(STDDEV_SAMP(l_quantity)*1000000) AS BIGINT) AS std_qty_e6,
+               COUNT(DISTINCT l_partkey) AS nd_part,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "global_count_distinct": """
+        SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS nd_part
+        FROM lineitem
+    """,
+    "events_by_type": """
+        SELECT event_type, COUNT(*) AS n,
+               MIN(epoch_us(ts)) AS min_ts_us,
+               MAX(epoch_us(ts)) AS max_ts_us,
+               CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY event_type
+    """,
+    "token_stats": f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS sum_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS sum_bpe,
+               CAST(SUM(len(regexp_extract_all(text, '{_PUNCT_RE}'))) AS BIGINT) AS sum_punct,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
+    "quality_filter": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{_TOKEN_RE}')) AS toks,
+                 length(text) AS chars,
+                 len(regexp_extract_all(text, '{_PUNCT_RE}')) AS punct,
+                 len(regexp_extract_all(text, '\\s')) AS ws
+          FROM documents)
+        SELECT doc_id, toks AS n_tokens FROM f
+        WHERE toks >= 20
+          AND (chars - ws) >= 3 * toks AND (chars - ws) <= 12 * toks
+          AND punct * 10 < chars
+    """,
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "embedding_dup_pairs": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000000) AS BIGINT) AS sim_e6
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_TAU}
+    """,
+    "ann_brute_force": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {ANN_NUM_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qv, e.v) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                                             e.vec_id ASC) AS rk
+          FROM q CROSS JOIN e)
+        SELECT query_id, vec_id,
+               CAST(ROUND(sim*1000000) AS BIGINT) AS sim_e6
+        FROM scored WHERE rk <= {ANN_K}
+    """,
+}

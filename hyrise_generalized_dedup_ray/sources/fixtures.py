@@ -135,10 +135,15 @@ def generate_pages(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     # substring pairs: two different docs sharing one ≥50-byte verbatim run
     for _ in range(n_substr // 2):
         shared = _doc_tokens(rng, vocab)
-        # ensure ≥ 50 bytes but small relative to both docs (Jaccard stays low)
-        while len(" ".join(shared[:12])) < 60:
-            shared = shared + _doc_tokens(rng, vocab)
-        shared = shared[:12]
+        # ensure ≥ 50 bytes but small relative to both docs (Jaccard
+        # stays low): widen the slice until the joined run is long
+        # enough, topping up tokens when the doc itself is short
+        k = 12
+        while len(" ".join(shared[:k])) < 60:
+            if k >= len(shared):
+                shared = shared + _doc_tokens(rng, vocab)
+            k += 1
+        shared = shared[:k]
         for _ in range(2):
             host_tokens = _doc_tokens(rng, vocab)
             cut = int(rng.integers(5, max(6, len(host_tokens) - 5)))
@@ -194,6 +199,41 @@ def _render_html(url: str, text: str, host_rank: int) -> bytes:
         f"<main>{text}</main>"
         f"<footer>&copy; 2024 {host}</footer></body></html>"
     ).encode("utf-8")
+
+
+def documents_as_pages(documents) -> "ray.data.Dataset":  # noqa: F821
+    """Deterministically re-shape the TPC-H-ish ``documents`` test table
+    into the flagship ``pages`` schema (url, warc_ts, html, text, lang)
+    from BASELINE.json's input_hint: url derives from (source, doc_id),
+    warc_ts from the epoch + doc_id, html from the same template wrapper
+    as :func:`generate_pages` — so ``extract_text(html) == text``
+    byte-identically and the flagship pipeline runs unmodified over
+    driver testdata.  Streaming map_batches; no driver materialization."""
+    import pyarrow as pa  # local: keep module import-light
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        urls = [f"https://{s}.example.com/doc/{i}" for s, i in zip(sources, ids)]
+        ts = pa.array([_EPOCH_US + int(i) * 1_000_000 for i in ids],
+                      type=pa.timestamp("us"))
+        htmls = [
+            (f'<html><head><title>{s}</title></head><body>'
+             f"<main>{t}</main></body></html>").encode("utf-8")
+            for s, t in zip(sources, texts)
+        ]
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        })
+
+    return documents.map_batches(to_pages, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
 
 def pages_parquet_dir(n_docs: int, seed: int = 42, root: str = "/tmp/hgd_fixtures") -> str:

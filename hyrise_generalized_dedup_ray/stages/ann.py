@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths, per the engine's scale contract:
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast ONCE (`ray.put`, fetched per actor in ``__init__``), each
+  batch does one float64 matmul against it and keeps a local top-k, a
+  final tiny ``groupby(query_id)`` merge selects the global top-k.
+  Shuffle volume: q×k rows per block — never the embeddings.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH
+  bucket keys drive ONE groupby; each bucket is searched exactly.
+  Approximate (bucket-local recall), multiprobe widens it.
+
+The reference has no vector search (its type system is 5 scalar types,
+all_type_variant.hpp:35-53); this is training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 row-normalized matrix) from a list<float> column."""
+    lists = batch.column(col).combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = lists.offsets.to_numpy()
+    widths = np.diff(offs)
+    if len(widths) and not (widths == widths[0]).all():
+        raise ValueError("ragged embedding column")
+    mat = flat.reshape(len(batch), -1)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BruteForceScorer:
+    """Actor-pool UDF: queries fetched + normalized once per actor."""
+
+    def __init__(self, queries_ref, k: int, col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["qmat"].astype(np.float64))
+        self.k = k
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(batch, self.col)
+        sims = _normalize(mat) @ self.qmat.T          # (n, q)
+        k = min(self.k, len(ids))
+        # local top-k per query (argpartition → exact order fixed later)
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
+        rows = part.ravel(order="F")
+        qidx = np.repeat(np.arange(sims.shape[1]), k)
+        return pa.table({
+            "query_id": pa.array(self.qids[qidx], type=pa.int64()),
+            "vec_id": pa.array(ids[rows], type=pa.int64()),
+            "sim": pa.array(sims[rows, qidx], type=pa.float64()),
+        })
+
+
+def brute_force_topk(
+    embeddings: Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    col: str = "embedding",
+    concurrency: tuple[int, int] = (1, 8),
+) -> Dataset:
+    """Exact cosine top-k for each query row; returns
+    (query_id, vec_id, sim) with exactly k rows per query (fewer only
+    if the corpus is smaller than k)."""
+    queries_ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                           "qmat": np.asarray(query_mat)})
+    local = embeddings.map_batches(
+        _BruteForceScorer, fn_constructor_args=(queries_ref, k, col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        # deterministic: sim desc, vec_id asc tiebreak
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[:k])
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def hyperplane_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket key per row: int64 of (mat @ planes.T > 0) bits."""
+    bits = (mat @ planes.T) > 0                      # (n, h)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_bucket_topk(
+    embeddings: Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 0xA11CE,
+    col: str = "embedding",
+) -> Dataset:
+    """Approximate top-k: corpus rows get ONE hyperplane bucket key;
+    each query probes its own bucket plus every 1..multiprobe-bit-flip
+    neighbor.  One groupby on the bucket key is the only shuffle; each
+    bucket runs the exact scorer on its slice.
+
+    Recall is bucket-local by construction — callers needing exactness
+    use :func:`brute_force_topk`.  (This mirrors the reference's
+    IndexScan-vs-TableScan split, index_scan.hpp:22: an approximate
+    pruned probe next to the exact full scan.)"""
+    rng = np.random.default_rng(seed)
+    dim = query_mat.shape[1]
+    planes = rng.standard_normal((num_planes, dim))
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qkeys = hyperplane_keys(qmat, planes)
+
+    # query probe map: bucket -> query indices probing it
+    probe: dict[int, list[int]] = {}
+    for qi, key in enumerate(qkeys):
+        cands = {int(key)}
+        if multiprobe >= 1:
+            for b in range(num_planes):
+                cands.add(int(key) ^ (1 << b))
+        for c in cands:
+            probe.setdefault(c, []).append(qi)
+    probe_ref = ray.put({
+        "probe": probe, "qids": np.asarray(query_ids, dtype=np.int64),
+        "qmat": qmat, "planes": planes,
+    })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(batch, col)
+        keys = hyperplane_keys(_normalize(mat), planes)
+        return batch.append_column("bucket", pa.array(keys, type=pa.int64()))
+
+    bucketed = embeddings.map_batches(add_bucket, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def search_bucket(group: pa.Table) -> pa.Table:
+        state = ray.get(probe_ref)
+        bucket = int(group.column("bucket")[0].as_py())
+        qidx = state["probe"].get(bucket)
+        if not qidx:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        ids, mat = _embedding_matrix(group, col)
+        sims = _normalize(mat) @ state["qmat"][qidx].T
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, q)
+        rows = part.ravel(order="F")                         # row idx per (q, k)
+        cols = np.repeat(np.arange(len(qidx)), kk)           # query column idx
+        return pa.table({
+            "query_id": pa.array(state["qids"][np.asarray(qidx)[cols]], type=pa.int64()),
+            "vec_id": pa.array(ids[rows], type=pa.int64()),
+            "sim": pa.array(sims[rows, cols], type=pa.float64()),
+        })
+
+    local = bucketed.groupby("bucket").map_groups(search_bucket,
+                                                  batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[:k])
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

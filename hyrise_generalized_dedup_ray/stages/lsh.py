@@ -139,9 +139,12 @@ def candidate_pairs(
             "salt": pa.array([salt] * len(a), type=pa.int64()),
         })
 
+    # materialize: `raw` is consumed twice (marker collection below and
+    # the surviving-pairs stream) — without pinning, the whole
+    # explode→salt→groupby pipeline would execute twice
     raw = salted.groupby(["band_key", "salt"]).map_groups(
         group_pairs, batch_format="pyarrow"
-    )
+    ).materialize()
 
     # bridges: collect marker rows (tiny), link consecutive sub-group minima
     markers = raw.filter(expr="b == -1").take_all()

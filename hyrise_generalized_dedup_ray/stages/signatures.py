@@ -56,8 +56,15 @@ class SignerActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         texts = batch.column("text").to_pylist()
-        urls = batch.column("url").to_pylist()
-        ids = doc_ids_for_urls(urls)
+        if "doc_id" in batch.column_names:
+            # documents-style input: ids provided by the table
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            urls = (batch.column("url").to_pylist()
+                    if "url" in batch.column_names
+                    else [f"doc://{int(i)}" for i in ids])
+        else:
+            urls = batch.column("url").to_pylist()
+            ids = doc_ids_for_urls(urls)
 
         flat, offsets = batch_shingles(texts, cfg.shingle_n)
         sig = minhash_signatures(flat, offsets, cfg)

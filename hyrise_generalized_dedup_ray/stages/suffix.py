@@ -91,7 +91,12 @@ def substring_edges(
     num_partitions: int = 32,
 ) -> Dataset:
     """Signer output → exact ≥L-byte shared-substring edges (a,b)."""
-    groups = fingerprint_groups(signatures)
+    from hyrise_generalized_dedup_ray.util import heal_blocks
+
+    # groups come out of two groupbys → heal zero-column empty blocks
+    # before the join (util.heal_blocks)
+    groups = heal_blocks(fingerprint_groups(signatures),
+                         max(2, num_partitions // 4))
     docs = signatures.select_columns(["doc_id", "text"])
     with_text = groups.join(
         docs, join_type="inner", num_partitions=num_partitions,

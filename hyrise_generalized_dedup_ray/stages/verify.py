@@ -31,11 +31,18 @@ def attach_texts(
     pairs: Dataset, docs: Dataset, num_partitions: int = 32
 ) -> Dataset:
     """(a,b) ⋈ docs(doc_id,text) twice → (a, b, text_a, text_b)."""
+    from hyrise_generalized_dedup_ray.util import heal_blocks
+
+    # pairs come out of a groupby → may carry zero-column empty blocks
+    # that break the join's schema resolution (util.heal_blocks)
+    pairs = heal_blocks(pairs, max(2, num_partitions // 4))
     docs = docs.select_columns(["doc_id", "text"])
     j1 = pairs.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=("doc_id",),
     ).rename_columns({"text": "text_a"}).select_columns(["a", "b", "text_a"])
+    # a join over sparse partitions can itself emit schema-less empties
+    j1 = heal_blocks(j1, max(2, num_partitions // 4))
     j2 = j1.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",),
@@ -76,6 +83,7 @@ class JaccardVerifier:
 def verify_pairs(
     pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
     batch_size: int = 2048, num_partitions: int = 32,
+    concurrency: int = 8,
 ) -> Dataset:
     """Candidate pairs → verified near-duplicate edges (a,b)."""
     with_texts = attach_texts(pairs, docs, num_partitions)
@@ -84,7 +92,7 @@ def verify_pairs(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=(1, concurrency),
     )
 
 

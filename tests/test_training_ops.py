@@ -1,0 +1,200 @@
+"""Training-data extension operators: text analysis, ANN, embedding
+near-dup, multimodal plumbing, documents-table dedup family."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hyrise_generalized_dedup_ray.relational import load_table
+
+
+# --- text analysis --------------------------------------------------------
+
+def test_quality_features_counts():
+    from hyrise_generalized_dedup_ray.functions.textstats import quality_features
+
+    batch = pa.table({"text": ["hello world!", "", "a b c, d. e"]})
+    q = quality_features(batch)
+    assert q.column("n_tokens").to_pylist() == [2, 0, 5]
+    assert q.column("n_punct").to_pylist() == [1, 0, 2]
+    assert q.column("n_chars").to_pylist() == [12, 0, 11]
+
+
+def test_language_scores():
+    from hyrise_generalized_dedup_ray.functions.textstats import language_scores
+
+    preds, hits = language_scores([
+        "the cat and the dog is in that house",
+        "der hund ist nicht in der stadt und ich",
+        "xyzzy qwerty",
+    ])
+    assert preds[0] == "en"
+    assert preds[1] == "de"
+    assert preds[2] == "und"
+    assert hits.shape[1] == 5
+
+
+def test_token_count_matches_re2_oracle(ray_session, sf_dir):
+    import duckdb
+    from hyrise_generalized_dedup_ray.pipelines.suite import token_stats
+
+    ours = token_stats(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
+    exp = duckdb.sql(f"""
+        SELECT lang, COUNT(*) n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) sum_tokens
+        FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    assert (ours["sum_tokens"].to_numpy() == exp["sum_tokens"].to_numpy()).all()
+
+
+# --- char shingles --------------------------------------------------------
+
+def test_char_shingles_csr():
+    from hyrise_generalized_dedup_ray.functions.text import char_shingles
+
+    flat, offs = char_shingles(["abcdef", "", "xy"], 3)
+    assert list(np.diff(offs)) == [4, 0, 0]   # 6-3+1, 0, len<n
+    f2, _ = char_shingles(["abcdef"], 3)
+    assert (flat[:4] == f2).all()             # boundary masking correct
+
+
+# --- ANN ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_embeddings(ray_session):
+    import ray
+    rng = np.random.default_rng(7)
+    n, d = 200, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, pa.array(mat.ravel())),
+    })
+    return ray.data.from_arrow(t), mat
+
+
+def test_brute_force_topk_exact(small_embeddings):
+    from hyrise_generalized_dedup_ray.stages.ann import brute_force_topk
+
+    ds, mat = small_embeddings
+    qids = np.array([0, 5])
+    qmat = mat[[0, 5]].astype(np.float64)
+    res = brute_force_topk(ds, qids, qmat, k=5).to_pandas()
+    assert len(res) == 10
+    # numpy oracle
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi, qid in enumerate(qids):
+        sims = norm @ norm[qid]
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = res[res.query_id == qid].sort_values(
+            ["sim", "vec_id"], ascending=[False, True]).vec_id.to_numpy()
+        assert set(got) == set(order)
+        assert got[0] == qid  # self is nearest
+
+
+def test_lsh_topk_recall(small_embeddings):
+    from hyrise_generalized_dedup_ray.stages.ann import (brute_force_topk,
+                                                         lsh_bucket_topk)
+
+    ds, mat = small_embeddings
+    qids = np.array([1, 2, 3])
+    qmat = mat[[1, 2, 3]].astype(np.float64)
+    exact = brute_force_topk(ds, qids, qmat, k=3).to_pandas()
+    approx = lsh_bucket_topk(ds, qids, qmat, k=3, num_planes=4,
+                             multiprobe=1).to_pandas()
+    # each query at least finds itself, results are subsets of the corpus
+    for qid in qids:
+        got = set(approx[approx.query_id == qid].vec_id)
+        assert int(qid) in got
+    # recall vs exact is positive (loose: approximate structure)
+    inter = 0
+    for qid in qids:
+        inter += len(set(approx[approx.query_id == qid].vec_id)
+                     & set(exact[exact.query_id == qid].vec_id))
+    assert inter >= len(qids)  # at least the self-hits
+
+
+# --- embedding near-dup ---------------------------------------------------
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 8)).astype(np.float32)
+    # plant 5 near-identical pairs: vec 50+i ≈ vec i
+    dup = base[:5] + rng.standard_normal((5, 8)).astype(np.float32) * 1e-3
+    mat = np.vstack([base, dup])
+    n, d = mat.shape
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, pa.array(mat.ravel())),
+    }))
+    from hyrise_generalized_dedup_ray.stages.embed_dedup import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_lsh)
+
+    pairs = embedding_near_dup_pairs(ds, tau=0.999).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)} == \
+        {(i, 50 + i) for i in range(5)}
+    # LSH variant finds most planted pairs (recall check, 4 tables)
+    lsh = embedding_near_dup_pairs_lsh(ds, tau=0.999).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(lsh.a, lsh.b)}
+    assert len(found & {(i, 50 + i) for i in range(5)}) >= 4
+
+
+# --- multimodal -----------------------------------------------------------
+
+def test_multimodal_decode_plumbing(ray_session, sf_dir):
+    from hyrise_generalized_dedup_ray.stages.multimodal import (
+        DecodeBackend, decode_media, documents_as_media)
+
+    docs = load_table(sf_dir, "documents").limit(50)
+    out = decode_media(documents_as_media(docs)).to_pandas()
+    assert len(out) == 50
+    assert set(out.media_type) <= {"image", "audio", "video"}
+    assert (out.n_bytes > 0).all()
+    feats = np.stack(out.features.to_numpy())
+    assert feats.shape == (50, 8)
+    # determinism: same payload → same features
+    b = DecodeBackend("fake")
+    assert np.allclose(b.features(b"hello"), b.features(b"hello"))
+    with pytest.raises(NotImplementedError):
+        DecodeBackend("real").decode("image", b"...")
+
+
+# --- documents dedup family ----------------------------------------------
+
+def test_simhash_blocking_finds_planted_near_dups(ray_session):
+    import ray
+    from hyrise_generalized_dedup_ray.pipelines.docs import simhash_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    # long docs: a 1-token edit flips ~5 of ~300 shingles → small Hamming
+    texts = [" ".join(rng.choice(vocab, size=300)) for _ in range(40)]
+    t0 = texts[0].split(); t0[3] = "zzz"
+    t1 = texts[1].split(); t1[10] = "qqq"
+    texts += [" ".join(t0), " ".join(t1)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    pairs = simhash_near_dup_pairs(ds, max_hamming=8, num_partitions=4).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)}
+    assert (0, 40) in found
+    assert (1, 41) in found
+
+
+def test_exact_dedup_docs(ray_session):
+    import ray
+    from hyrise_generalized_dedup_ray.pipelines.docs import exact_dedup_docs
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 2, 7], type=pa.int64()),
+        "text": pa.array(["x", "y", "x", "x"]),
+    }))
+    out = exact_dedup_docs(ds).to_pandas().sort_values("rep_id").reset_index(drop=True)
+    assert out.rep_id.tolist() == [1, 2]
+    assert out.n_copies.tolist() == [1, 3]

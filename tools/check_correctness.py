@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry at a given sf and diff against ``oracle_sql()``
+via DuckDB (row count + schema names + order-insensitive value hash).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import numpy as np
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:  # widen so int32-vs-int64 etc. can't skew reprs
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+    # canonicalize: stringify rows, sort → order-insensitive
+    rows = sorted(
+        "|".join(repr(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 logging_level="ERROR")
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            ours = to_pandas(fn(sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: raised {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(ours)} rows, {dt:.1f}s)")
+            continue
+        theirs = con.execute(oracles[name]).fetchdf()
+        ok_rows = len(ours) == len(theirs)
+        ok_schema = sorted(ours.columns) == sorted(theirs.columns)
+        ok_hash = ok_rows and ok_schema and value_hash(ours) == value_hash(theirs)
+        status = "ok  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        print(f"{status} {name}: rows {len(ours)}/{len(theirs)} "
+              f"schema={'=' if ok_schema else sorted(ours.columns)} "
+              f"hash={'=' if ok_hash else 'MISMATCH'} ({dt:.1f}s)")
+        if status == "FAIL":
+            failures.append(name)
+            if ok_schema and ok_rows:
+                a = ours[sorted(ours.columns)].sort_values(sorted(ours.columns)).reset_index(drop=True)
+                b = theirs[sorted(theirs.columns)].sort_values(sorted(theirs.columns)).reset_index(drop=True)
+                diff = (a != b) & ~(a.isna() & b.isna())
+                bad = diff.any(axis=1)
+                print("  ours:\n", a[bad].head(3))
+                print("  oracle:\n", b[bad].head(3))
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
