@@ -28,15 +28,18 @@ import time
 
 
 def _engine_config(num_cpus: int):
-    """Size the stateful actor pools to the session's CPU count — the
-    per-cluster-size tuning a real deployment sets per node shape."""
+    """Actor pools are capped at 8 regardless of CPUs: their per-doc
+    compute (sign ~0.5 ms, verify ~0.1 ms/pair) is a small slice of the
+    job, while every extra actor costs a fresh worker-process spawn
+    (~1 s).  The stages that dominate (shuffles, joins, suffix-array
+    chunks) are task-based and scale with the CPU count on their own."""
     from dataclasses import replace
 
     from hyrise_generalized_dedup_ray.config import DEFAULT_ENGINE_CONFIG
 
     return replace(DEFAULT_ENGINE_CONFIG,
-                   signature_concurrency=max(4, num_cpus),
-                   verify_concurrency=max(4, num_cpus))
+                   signature_concurrency=min(8, num_cpus),
+                   verify_concurrency=min(8, num_cpus))
 
 
 def run_flagship(sf_dir: str, num_cpus: int, num_partitions: int | None = None,

@@ -88,18 +88,28 @@ def dedup_pages(
     if num_partitions is None:
         num_partitions = int(min(256, max(4, metrics["docs"] // 1000)))
     metrics["num_partitions"] = num_partitions
+    # joins cap their fan-out separately: every Dataset.join spawns ONE
+    # AGGREGATOR ACTOR PER PARTITION (hash_shuffle.py caps at 64) — at
+    # num_partitions=60 a two-join stage spawns 120 worker processes
+    # whose startup dwarfs the data work at sandbox scale
+    join_partitions = min(num_partitions, 32)
 
     docs = signatures.select_columns(["doc_id", "text"])
 
     t1 = time.perf_counter()
-    exact = exact_dup_edges(signatures)
+    # each edge branch materializes on its own: fusing three
+    # shuffle+actor-pool graphs into one union pipeline can deadlock
+    # Ray's streaming executor under tight CPU budgets (the sort-based
+    # map_groups samples boundaries with a blocking ray.get inside the
+    # scheduling loop while actor pools hold the CPUs)
+    exact = exact_dup_edges(signatures, num_partitions).materialize()
     pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
     metrics.update(lsh_metrics)
     near = verify_pairs(pairs, docs, cfg,
                         batch_size=eng.verify_batch_size,
-                        num_partitions=num_partitions,
-                        concurrency=eng.verify_concurrency)
-    substr = substring_edges(signatures, cfg, num_partitions)
+                        num_partitions=join_partitions,
+                        concurrency=eng.verify_concurrency).materialize()
+    substr = substring_edges(signatures, cfg, join_partitions).materialize()
 
     edges = exact.union(near).union(substr).materialize()
     metrics["edges"] = edges.count()
@@ -116,8 +126,8 @@ def dedup_pages(
 
     universe = signatures.select_columns(["url", "doc_id"])
     joined = universe.join(
-        heal_blocks(labels, max(2, num_partitions // 4)),
-        join_type="left_outer", num_partitions=num_partitions,
+        heal_blocks(labels, max(2, join_partitions // 4)),
+        join_type="left_outer", num_partitions=join_partitions,
         on=("doc_id",),
     )
 
@@ -177,15 +187,17 @@ def run_dedup_checkpointed(
     t1 = time.perf_counter()
 
     def build_edges() -> Dataset:
+        # sequential branch materialization — see dedup_pages comment
         docs = signatures.select_columns(["doc_id", "text"])
-        exact = exact_dup_edges(signatures)
+        exact = exact_dup_edges(signatures, num_partitions).materialize()
         pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
         metrics.update(lsh_metrics)
+        jp = min(num_partitions, 32)
         near = verify_pairs(pairs, docs, cfg,
                             batch_size=eng.verify_batch_size,
-                            num_partitions=num_partitions,
-                            concurrency=eng.verify_concurrency)
-        substr = substring_edges(signatures, cfg, num_partitions)
+                            num_partitions=jp,
+                            concurrency=eng.verify_concurrency).materialize()
+        substr = substring_edges(signatures, cfg, jp).materialize()
         return exact.union(near).union(substr)
 
     edges, resumed_edges = checkpoint_stage(
@@ -204,10 +216,11 @@ def run_dedup_checkpointed(
             edges, eng, force_distributed=force_distributed_cc
         )
         metrics.update(cc_metrics)
+        jp = min(num_partitions, 32)
         universe = signatures.select_columns(["url", "doc_id"])
         joined = universe.join(
-            heal_blocks(labels, max(2, num_partitions // 4)),
-            join_type="left_outer", num_partitions=num_partitions,
+            heal_blocks(labels, max(2, jp // 4)),
+            join_type="left_outer", num_partitions=jp,
             on=("doc_id",),
         )
 

@@ -105,6 +105,9 @@ def simhash_near_dup_pairs(
     chunk_bits = 64 // n_chunks
     sigs = sign_docs(docs, replace(cfg), eng)
 
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
+
     def explode_chunks(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch["num_shingles"], 0))
         sim = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -119,38 +122,53 @@ def simhash_near_dup_pairs(
             out_key.append(key)
             out_id.append(ids)
             out_sim.append(sim.view(np.int64))
+        key = np.concatenate(out_key)
         return pa.table({
-            "block_key": pa.array(np.concatenate(out_key), type=pa.int64()),
+            "block_key": pa.array(key, type=pa.int64()),
             "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
             "simhash": pa.array(np.concatenate(out_sim), type=pa.int64()),
+            "pkey": pa.array(partition_ids(key, num_partitions), type=pa.int64()),
         })
 
     exploded = sigs.select_columns(["doc_id", "simhash", "num_shingles"]).map_batches(
         explode_chunks, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def block_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sims = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
-        _, first = np.unique(ids, return_index=True)
-        ids, sims = ids[first], sims[first]
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        xor = sims[:, None] ^ sims[None, :]
-        # vectorized popcount via uint8 view + bit_count table
-        pop = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8),
-                            axis=2).sum(axis=2)
-        ai, bi = np.nonzero(np.triu(pop <= max_hamming, k=1))
-        a, b = ids[ai], ids[bi]
+    def block_pairs_partition(part: pa.Table) -> pa.Table:
+        """All blocks of one hash partition; Python loop only over
+        blocks with ≥2 docs (functions/grouping pattern)."""
+        bkey = part.column("block_key").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        sims = part.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        order, starts, ends = sort_groups((bkey,), order_by=(ids,))
+        bkey, ids, sims = bkey[order], ids[order], sims[order]
+        sizes = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], ends[gi]
+            gids, first = np.unique(ids[s:e], return_index=True)
+            gsims = sims[s:e][first]
+            if len(gids) < 2:
+                continue
+            xor = gsims[:, None] ^ gsims[None, :]
+            pop = np.unpackbits(
+                xor.view(np.uint8).reshape(len(gids), len(gids), 8),
+                axis=2).sum(axis=2)
+            ai, bi = np.nonzero(np.triu(pop <= max_hamming, k=1))
+            a, b = gids[ai], gids[bi]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         return pa.table({
-            "a": pa.array(np.minimum(a, b), type=pa.int64()),
-            "b": pa.array(np.maximum(a, b), type=pa.int64()),
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
         })
 
-    raw = exploded.groupby("block_key").map_groups(block_pairs,
-                                                   batch_format="pyarrow")
-    return dedupe_pairs(raw)
+    raw = exploded.groupby("pkey").map_groups(block_pairs_partition,
+                                              batch_format="pyarrow")
+    return dedupe_pairs(raw, num_partitions)
 
 
 class _CharJaccardVerifier:

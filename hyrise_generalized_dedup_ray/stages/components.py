@@ -34,47 +34,79 @@ from hyrise_generalized_dedup_ray.functions.hashing import mix2
 from hyrise_generalized_dedup_ray.functions.pairs import UnionFind
 
 
-def _both_orientations(batch: pa.Table) -> pa.Table:
+def _both_orientations(batch: pa.Table, num_partitions: int = 32) -> pa.Table:
+    from hyrise_generalized_dedup_ray.functions.grouping import partition_ids
+
     a = batch.column("a").to_numpy(zero_copy_only=False)
     b = batch.column("b").to_numpy(zero_copy_only=False)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
     return pa.table({
-        "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
-        "v": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        "u": pa.array(u, type=pa.int64()),
+        "v": pa.array(v, type=pa.int64()),
+        "pkey": pa.array(partition_ids(u, num_partitions), type=pa.int64()),
     })
 
 
-def _large_star_reduce(group: pa.Table) -> pa.Table:
-    u = int(group.column("u")[0].as_py())
-    nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
-    m = min(u, int(nbrs[0]))
-    bigger = nbrs[nbrs > u]
-    if len(bigger) == 0 or (m == u and len(bigger) == 0):
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64())})
+def _group_node_stats(part: pa.Table):
+    """(u_sorted, v_sorted, starts, ends, per-row group min incl. u)."""
+    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
+
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    order, starts, ends = sort_groups((u,))
+    u, v = u[order], v[order]
+    if len(u) == 0:
+        return u, v, starts, ends, np.empty(0, dtype=np.int64)
+    gmin_v = np.minimum.reduceat(v, starts)
+    gmin = np.minimum(gmin_v, u[starts])        # min(N(u) ∪ {u})
+    sizes = ends - starts
+    row_gmin = np.repeat(gmin, sizes)
+    return u, v, starts, ends, row_gmin
+
+
+def _large_star_partition(part: pa.Table) -> pa.Table:
+    """large-star, all groups of one hash partition vectorized:
+    for each node u link every neighbor v > u to m = min(N(u) ∪ {u})."""
+    u, v, starts, ends, row_gmin = _group_node_stats(part)
+    mask = v > u
+    vv, mm = v[mask], row_gmin[mask]
     return pa.table({
-        "a": pa.array(np.minimum(bigger, m), type=pa.int64()),
-        "b": pa.array(np.maximum(bigger, m), type=pa.int64()),
+        "a": pa.array(np.minimum(vv, mm), type=pa.int64()),
+        "b": pa.array(np.maximum(vv, mm), type=pa.int64()),
     })
 
 
-def _orient_max_min(batch: pa.Table) -> pa.Table:
+def _orient_max_min(batch: pa.Table, num_partitions: int = 32) -> pa.Table:
+    from hyrise_generalized_dedup_ray.functions.grouping import partition_ids
+
     a = batch.column("a").to_numpy(zero_copy_only=False)
     b = batch.column("b").to_numpy(zero_copy_only=False)
+    u = np.maximum(a, b)
     return pa.table({
-        "u": pa.array(np.maximum(a, b), type=pa.int64()),
+        "u": pa.array(u, type=pa.int64()),
         "v": pa.array(np.minimum(a, b), type=pa.int64()),
+        "pkey": pa.array(partition_ids(u, num_partitions), type=pa.int64()),
     })
 
 
-def _small_star_reduce(group: pa.Table) -> pa.Table:
-    u = int(group.column("u")[0].as_py())
-    nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
-    m = int(nbrs[0])  # all neighbors < u, so min(N ∪ {u}) = nbrs[0]
-    targets = np.concatenate([nbrs[nbrs != m], np.array([u], dtype=np.int64)])
-    targets = targets[targets != m]
+def _small_star_partition(part: pa.Table) -> pa.Table:
+    """small-star vectorized: all v < u; link every node of
+    N(u) ∪ {u} except m to m = min(N(u))."""
+    u, v, starts, ends, row_gmin = _group_node_stats(part)
+    mask = v != row_gmin
+    a1 = row_gmin[mask]
+    b1 = v[mask]
+    # u itself links to m once per group (u > v ≥ m always ⇒ u ≠ m)
+    if len(starts):
+        gmin = row_gmin[starts]
+        a2 = gmin
+        b2 = u[starts]
+    else:
+        a2 = b2 = np.empty(0, dtype=np.int64)
     return pa.table({
-        "a": pa.array(np.full(len(targets), m, dtype=np.int64)),
-        "b": pa.array(targets, type=pa.int64()),
+        "a": pa.array(np.concatenate([a1, a2]), type=pa.int64()),
+        "b": pa.array(np.concatenate([b1, b2]), type=pa.int64()),
     })
 
 
@@ -104,27 +136,36 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
     return int(agg["s"] or 0) % (1 << 62), int(agg["n"] or 0)
 
 
-def star_contraction(edges: Dataset, eng: EngineConfig) -> tuple[Dataset, int]:
+def star_contraction(edges: Dataset, eng: EngineConfig,
+                     num_partitions: int = 32) -> tuple[Dataset, int]:
     """Iterate large-star/small-star until the edge set is stable.
 
     Returns ``(star_edges, rounds)``; ``star_edges`` connect each
-    non-minimum node of a component to the component minimum.
+    non-minimum node of a component to the component minimum.  Each
+    round is ONE hash shuffle on the node id; the reducers run once per
+    partition, fully vectorized (functions/grouping pattern).
     """
+    import functools
+
     current = _dedupe(edges)
     prev_sig = _checksum(current)
     rounds = 0
+    orient_both = functools.partial(_both_orientations,
+                                    num_partitions=num_partitions)
+    orient_mm = functools.partial(_orient_max_min,
+                                  num_partitions=num_partitions)
     for rounds in range(1, eng.cc_max_rounds + 1):
         ls = (
-            current.map_batches(_both_orientations, batch_format="pyarrow",
+            current.map_batches(orient_both, batch_format="pyarrow",
                                 zero_copy_batch=True)
-            .groupby("u")
-            .map_groups(_large_star_reduce, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(_large_star_partition, batch_format="pyarrow")
         )
         ss = (
-            ls.map_batches(_orient_max_min, batch_format="pyarrow",
+            ls.map_batches(orient_mm, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .groupby("u")
-            .map_groups(_small_star_reduce, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(_small_star_partition, batch_format="pyarrow")
         )
         current = _dedupe(ss).materialize()
         sig = _checksum(current)
@@ -134,21 +175,28 @@ def star_contraction(edges: Dataset, eng: EngineConfig) -> tuple[Dataset, int]:
     return current, rounds
 
 
-def labels_from_star_edges(star_edges: Dataset) -> Dataset:
+def labels_from_star_edges(star_edges: Dataset,
+                           num_partitions: int = 32) -> Dataset:
     """Star edges → (doc_id, cluster) rows for every node in an edge."""
+    import functools
 
-    def node_min(group: pa.Table) -> pa.Table:
-        u = int(group.column("u")[0].as_py())
-        nbrs = group.column("v").to_numpy(zero_copy_only=False)
-        label = min(u, int(nbrs.min()))
-        return pa.table({"doc_id": pa.array([u], type=pa.int64()),
-                         "cluster": pa.array([label], type=pa.int64())})
+    def node_min_partition(part: pa.Table) -> pa.Table:
+        u, v, starts, ends, row_gmin = _group_node_stats(part)
+        if len(starts) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(u[starts], type=pa.int64()),
+            "cluster": pa.array(row_gmin[starts], type=pa.int64()),
+        })
 
+    orient_both = functools.partial(_both_orientations,
+                                    num_partitions=num_partitions)
     return (
-        star_edges.map_batches(_both_orientations, batch_format="pyarrow",
+        star_edges.map_batches(orient_both, batch_format="pyarrow",
                                zero_copy_batch=True)
-        .groupby("u")
-        .map_groups(node_min, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(node_min_partition, batch_format="pyarrow")
     )
 
 

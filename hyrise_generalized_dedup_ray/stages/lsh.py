@@ -31,6 +31,10 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from hyrise_generalized_dedup_ray.config import EngineConfig
+from hyrise_generalized_dedup_ray.functions.grouping import (
+    partition_ids,
+    sort_groups,
+)
 from hyrise_generalized_dedup_ray.functions.hashing import mix2
 from hyrise_generalized_dedup_ray.functions.pairs import emit_group_pairs, salt_of
 
@@ -109,7 +113,8 @@ def candidate_pairs(
         # hot rows get salt 1..buckets (salt_of + 1); cold rows salt 0 —
         # so "salt > 0" unambiguously marks membership in a salted band
         # and every hot sub-group (including oracle-bucket 0) emits a
-        # bridge marker below.
+        # bridge marker below.  pkey hash-partitions (band_key, salt) so
+        # the per-partition kernel sees whole groups (functions/grouping).
         hot_set = ray.get(hot_ref)
         keys = batch.column("band_key").to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -118,32 +123,50 @@ def candidate_pairs(
             is_hot = np.fromiter((int(k) in hot_set for k in keys), bool, len(keys))
             if is_hot.any():
                 salts[is_hot] = salt_of(ids[is_hot], salt_buckets) + 1
-        return batch.append_column("salt", pa.array(salts, type=pa.int64()))
+        pkey = partition_ids(
+            mix2(keys.view(np.uint64), salts.view(np.uint64)), num_partitions)
+        out = batch.append_column("salt", pa.array(salts, type=pa.int64()))
+        return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     salted = exploded.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
 
-    def group_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        key = int(group.column("band_key")[0].as_py())
-        salt = int(group.column("salt")[0].as_py())
-        pairs, _ = emit_group_pairs(ids, pair_cap)
-        a = [p[0] for p in pairs]
-        b = [p[1] for p in pairs]
-        if salt > 0:  # marker row (b = -1) carries this sub-group's minimum
-            a.append(int(ids[0]))
-            b.append(-1)
+    def partition_pairs(part: pa.Table) -> pa.Table:
+        """One call per hash partition; groups resolved with lexsort +
+        boundary scan, Python loop only over multi-member / hot groups."""
+        bk = part.column("band_key").to_numpy(zero_copy_only=False)
+        st = part.column("salt").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order, starts, ends = sort_groups((bk, st), order_by=(ids,))
+        bk, st, ids = bk[order], st[order], ids[order]
+        sizes = ends - starts
+        need = np.flatnonzero((sizes >= 2) | (st[starts] > 0))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        k_out: list[int] = []
+        s_out: list[int] = []
+        for gi in need:
+            s, e = starts[gi], ends[gi]
+            uids = np.unique(ids[s:e])
+            pairs, _ = emit_group_pairs(uids, pair_cap)
+            salt = int(st[s])
+            if salt > 0:  # marker row (b = -1) carries sub-group minimum
+                pairs = pairs + [(int(uids[0]), -1)]
+            a_out.extend(p[0] for p in pairs)
+            b_out.extend(p[1] for p in pairs)
+            k_out.extend([int(bk[s])] * len(pairs))
+            s_out.extend([salt] * len(pairs))
         return pa.table({
-            "a": pa.array(a, type=pa.int64()),
-            "b": pa.array(b, type=pa.int64()),
-            "band_key": pa.array([key] * len(a), type=pa.int64()),
-            "salt": pa.array([salt] * len(a), type=pa.int64()),
+            "a": pa.array(a_out, type=pa.int64()),
+            "b": pa.array(b_out, type=pa.int64()),
+            "band_key": pa.array(k_out, type=pa.int64()),
+            "salt": pa.array(s_out, type=pa.int64()),
         })
 
     # materialize: `raw` is consumed twice (marker collection below and
     # the surviving-pairs stream) — without pinning, the whole
     # explode→salt→groupby pipeline would execute twice
-    raw = salted.groupby(["band_key", "salt"]).map_groups(
-        group_pairs, batch_format="pyarrow"
+    raw = salted.groupby("pkey").map_groups(
+        partition_pairs, batch_format="pyarrow"
     ).materialize()
 
     # bridges: collect marker rows (tiny), link consecutive sub-group minima
@@ -166,28 +189,34 @@ def candidate_pairs(
             "a": pa.array([p[0] for p in bp], type=pa.int64()),
             "b": pa.array([p[1] for p in bp], type=pa.int64()),
         })))
-    return dedupe_pairs(pairs_ds), metrics
+    return dedupe_pairs(pairs_ds, num_partitions), metrics
 
 
-def dedupe_pairs(pairs: Dataset) -> Dataset:
-    """Drop duplicate (a,b) rows via a single-key groupby on a mixed
-    pair hash (one shuffle of 3 int columns)."""
+def dedupe_pairs(pairs: Dataset, num_partitions: int = 32) -> Dataset:
+    """Drop duplicate (a,b) rows: ONE shuffle on a hash partition of the
+    pair, fully vectorized unique inside each partition (equal pairs
+    hash to the same partition by construction)."""
 
-    def add_key(batch: pa.Table) -> pa.Table:
+    def add_pkey(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
         b = batch.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
-        return batch.append_column(
-            "pair_key", pa.array(mix2(a, b).view(np.int64), type=pa.int64())
-        )
+        pk = partition_ids(mix2(a, b), num_partitions)
+        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
 
-    def first_per_key(group: pa.Table) -> pa.Table:
-        # same pair_key can (rarely) hold different pairs: keep distinct
-        tbl = group.group_by(["a", "b"]).aggregate([]).sort_by([("a", "ascending")])
-        return tbl
+    def uniq_partition(part: pa.Table) -> pa.Table:
+        a = part.column("a").to_numpy(zero_copy_only=False)
+        b = part.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[keep], b[keep]
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
 
     return (
-        pairs.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pair_key")
-        .map_groups(first_per_key, batch_format="pyarrow")
+        pairs.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(uniq_partition, batch_format="pyarrow")
         .select_columns(["a", "b"])
     )

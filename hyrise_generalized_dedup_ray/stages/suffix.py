@@ -56,33 +56,107 @@ def explode_fingerprints(signatures: Dataset) -> Dataset:
     )
 
 
-def fingerprint_groups(signatures: Dataset) -> Dataset:
+def fingerprint_groups(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     """→ rows (docset:u64, doc_id:i64), one row per member of each
-    *distinct* multi-doc fingerprint group."""
+    *distinct* multi-doc fingerprint group.
 
-    def members(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"docset": pa.array([], type=pa.uint64()),
-                             "doc_id": pa.array([], type=pa.int64())})
-        key = np.uint64(docset_key(ids)).view(np.int64)
+    Both grouping passes use the hash-partition + in-partition lexsort
+    pattern (functions/grouping): winnowing yields ~text_len/10
+    fingerprints per doc, so the naive groupby("fp").map_groups would
+    make MILLIONS of per-group Python calls — the partition kernel makes
+    ``num_partitions`` of them."""
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
+
+    def add_fp_pkey(batch: pa.Table) -> pa.Table:
+        fp = batch.column("fp").to_numpy(zero_copy_only=False)
+        pk = partition_ids(fp, num_partitions)
+        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
+
+    def members_partition(part: pa.Table) -> pa.Table:
+        fp = part.column("fp").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order, starts, ends = sort_groups((fp,), order_by=(ids,))
+        fp, ids = fp[order], ids[order]
+        # drop duplicate (fp, doc) rows, recompute boundaries
+        keep = np.concatenate([[True], (fp[1:] != fp[:-1]) | (ids[1:] != ids[:-1])]) \
+            if len(fp) else np.empty(0, dtype=bool)
+        fp, ids = fp[keep], ids[keep]
+        if len(fp):
+            idx = np.flatnonzero(fp[1:] != fp[:-1]) + 1
+            starts = np.concatenate([[0], idx])
+            ends = np.concatenate([idx, [len(fp)]])
+        else:
+            starts = ends = np.empty(0, dtype=np.int64)
+        sizes = ends - starts
+        out_set: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], ends[gi]
+            grp = ids[s:e]                     # sorted unique already
+            key = np.int64(np.uint64(docset_key(grp)).view(np.int64))
+            out_set.append(np.full(len(grp), key, dtype=np.int64))
+            out_ids.append(grp)
+        if out_set:
+            ds_arr = np.concatenate(out_set)
+            id_arr = np.concatenate(out_ids)
+        else:
+            ds_arr = np.empty(0, dtype=np.int64)
+            id_arr = np.empty(0, dtype=np.int64)
         return pa.table({
-            "docset": pa.array(np.full(len(ids), key, dtype=np.int64)),
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "docset": pa.array(ds_arr, type=pa.int64()),
+            "doc_id": pa.array(id_arr, type=pa.int64()),
         })
 
-    def first_docset(group: pa.Table) -> pa.Table:
-        # identical doc sets hash to the same docset key → keep one copy
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        key = group.column("docset")[0].as_py()
+    def add_ds_pkey(batch: pa.Table) -> pa.Table:
+        dsk = batch.column("docset").to_numpy(zero_copy_only=False)
+        pk = partition_ids(dsk, num_partitions)
+        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
+
+    def uniq_partition(part: pa.Table) -> pa.Table:
+        # identical doc sets share the docset key → unique (docset, doc);
+        # then pre-assign suffix-array chunks (chunk_with_anchor) so each
+        # ≤64-doc chunk becomes its OWN downstream group — a 3000-doc
+        # boilerplate docset runs as ~47 parallel tasks, not one.
+        dsk = part.column("docset").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dsk))
+        dsk, ids = dsk[order], ids[order]
+        if len(dsk):
+            keep = np.concatenate(
+                [[True], (dsk[1:] != dsk[:-1]) | (ids[1:] != ids[:-1])])
+            dsk, ids = dsk[keep], ids[keep]
+        out_set: list[int] = []
+        out_chunk: list[int] = []
+        out_id: list[int] = []
+        if len(dsk):
+            idx = np.flatnonzero(dsk[1:] != dsk[:-1]) + 1
+            starts = np.concatenate([[0], idx])
+            ends = np.concatenate([idx, [len(dsk)]])
+            for s, e in zip(starts, ends):
+                key = int(dsk[s])
+                for ci, chunk in enumerate(
+                        chunk_with_anchor(ids[s:e], SUBSTR_MAX_GROUP)):
+                    out_set.extend([key] * len(chunk))
+                    out_chunk.extend([ci] * len(chunk))
+                    out_id.extend(chunk)
         return pa.table({
-            "docset": pa.array(np.full(len(ids), key, dtype=np.int64)),
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "docset": pa.array(out_set, type=pa.int64()),
+            "chunk": pa.array(out_chunk, type=pa.int64()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
         })
 
     exploded = explode_fingerprints(signatures)
-    grouped = exploded.groupby("fp").map_groups(members, batch_format="pyarrow")
-    return grouped.groupby("docset").map_groups(first_docset, batch_format="pyarrow")
+    grouped = (
+        exploded.map_batches(add_fp_pkey, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("pkey").map_groups(members_partition, batch_format="pyarrow")
+    )
+    return (
+        grouped.map_batches(add_ds_pkey, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("pkey").map_groups(uniq_partition, batch_format="pyarrow")
+    )
 
 
 def substring_edges(
@@ -95,7 +169,7 @@ def substring_edges(
 
     # groups come out of two groupbys → heal zero-column empty blocks
     # before the join (util.heal_blocks)
-    groups = heal_blocks(fingerprint_groups(signatures),
+    groups = heal_blocks(fingerprint_groups(signatures, num_partitions),
                          max(2, num_partitions // 4))
     docs = signatures.select_columns(["doc_id", "text"])
     with_text = groups.join(
@@ -105,21 +179,22 @@ def substring_edges(
     min_len = cfg.min_substring_bytes
 
     def suffix_pass(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("doc_id").to_numpy(zero_copy_only=False))
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        """One pre-assigned ≤SUBSTR_MAX_GROUP-doc chunk per group."""
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
         texts = group.column("text").take(pa.array(order)).to_pylist()
-        text_of = dict(zip((int(i) for i in ids), texts))
+        chunk_texts = [t.encode("utf-8") for t in texts]
         a: list[int] = []
         b: list[int] = []
-        for chunk in chunk_with_anchor(ids, SUBSTR_MAX_GROUP):
-            chunk_texts = [text_of[d].encode("utf-8") for d in chunk]
-            for ia, ib in cross_doc_repeats(chunk_texts, min_len):
-                x, y = chunk[ia], chunk[ib]
-                a.append(min(x, y))
-                b.append(max(x, y))
+        for ia, ib in cross_doc_repeats(chunk_texts, min_len):
+            x, y = int(ids[ia]), int(ids[ib])
+            a.append(min(x, y))
+            b.append(max(x, y))
         return pa.table({
             "a": pa.array(a, type=pa.int64()),
             "b": pa.array(b, type=pa.int64()),
         })
 
-    return with_text.groupby("docset").map_groups(suffix_pass, batch_format="pyarrow")
+    return with_text.groupby(["docset", "chunk"]).map_groups(
+        suffix_pass, batch_format="pyarrow")

@@ -96,26 +96,40 @@ def verify_pairs(
     )
 
 
-def exact_dup_edges(signatures: Dataset) -> Dataset:
+def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     """Edges between documents with byte-identical text.
 
-    groupby(text_hash) then an in-group regroup by the actual text to
-    rule out 64-bit hash collisions; star edges (min doc → others), the
-    same rule as the oracle.
-    """
+    Hash-partition on text_hash (functions/grouping pattern — one call
+    per partition, not per group); inside the partition, only hash
+    groups with ≥2 rows are regrouped by the actual text to rule out
+    64-bit collisions.  Star edges (min doc → others), the same rule as
+    the oracle."""
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
 
-    def star(group: pa.Table) -> pa.Table:
-        texts = group.column("text").to_pylist()
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        by_text: dict[str, list[int]] = {}
-        for t, d in zip(texts, ids):
-            by_text.setdefault(t, []).append(int(d))
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        th = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        pk = partition_ids(th, num_partitions)
+        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
+
+    def star_partition(part: pa.Table) -> pa.Table:
+        th = part.column("text_hash").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order, starts, ends = sort_groups((th,), order_by=(ids,))
+        th, ids = th[order], ids[order]
+        texts = part.column("text").take(pa.array(order))
+        sizes = ends - starts
         a: list[int] = []
         b: list[int] = []
-        for members in by_text.values():
-            members.sort()
-            a.extend(members[0] for _ in members[1:])
-            b.extend(members[1:])
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], ends[gi]
+            by_text: dict[str, list[int]] = {}
+            for j in range(s, e):
+                by_text.setdefault(texts[j].as_py(), []).append(int(ids[j]))
+            for members in by_text.values():
+                members.sort()
+                a.extend(members[0] for _ in members[1:])
+                b.extend(members[1:])
         return pa.table({
             "a": pa.array(a, type=pa.int64()),
             "b": pa.array(b, type=pa.int64()),
@@ -123,6 +137,7 @@ def exact_dup_edges(signatures: Dataset) -> Dataset:
 
     return (
         signatures.select_columns(["doc_id", "text", "text_hash"])
-        .groupby("text_hash")
-        .map_groups(star, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(star_partition, batch_format="pyarrow")
     )

@@ -147,3 +147,21 @@ def test_cross_product(ray_session):
     out = R.product(left, right).to_pandas()
     assert len(out) == 6
     assert set(map(tuple, out.values)) == {(i, c) for i in (1, 2, 3) for c in "xy"}
+
+
+def test_import_export_roundtrip(ray_session, tmp_path, sf_dir):
+    from hyrise_generalized_dedup_ray.relational.catalog import (
+        export_table, import_file)
+
+    nat = R.load_table(sf_dir, "nation")
+    csv_dir = str(tmp_path / "nation_csv")
+    pq_dir = str(tmp_path / "nation_pq")
+    export_table(nat, csv_dir, "csv")
+    export_table(nat, pq_dir, "parquet")
+    back_csv = import_file(csv_dir, "csv").to_pandas()
+    back_pq = import_file(pq_dir).to_pandas()  # auto → parquet
+    orig = nat.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    for back in (back_csv, back_pq):
+        back = back.sort_values("n_nationkey").reset_index(drop=True)
+        assert (back["n_name"] == orig["n_name"]).all()
+        assert len(back) == 25
