@@ -164,6 +164,7 @@ def main() -> None:
         "queries": {**r["queries"],
                     "flagship": round(r["flagship"]["secs"], 3)},
         "flagship_docs_per_sec": round(r["flagship"]["docs_per_sec"], 1),
+        "stage_secs": r["flagship"].get("stage_secs"),
         "sf": float(sf), "num_cpus": num_cpus,
     }
     print(json.dumps(out))

@@ -4,8 +4,9 @@ generalized-dedup encoders (SURVEY.md §0, §7).
 
         read_parquet(pages)
           → map_batches(extract)            stateless tasks (drops html)
-          → map_batches(SignerActor)        actor pool: shingles → MinHash/
-                                            SimHash/band keys/fingerprints
+          → map_batches(sign_batch)         tasks + per-process state cache:
+                                            shingles → MinHash/SimHash/
+                                            band keys/fingerprints
           → [exact edges]   groupby(text_hash)
           → [LSH pairs]     band explode → hot-band count → salted groupby
                             → candidates → join texts → exact Jaccard
@@ -47,17 +48,20 @@ def compute_signatures(
     eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
 ) -> Dataset:
     """pages(url, warc_ts, html, …) → signer output (see stages.signatures)."""
+    import functools
+
+    from hyrise_generalized_dedup_ray.stages.signatures import sign_batch
+
     extracted = pages.map_batches(
         extract_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    # task-based with per-worker-process signer cache (signatures.py):
+    # scales with whatever CPUs the session has, no actor-spawn cost
     return extracted.map_batches(
-        SignerActor,
-        fn_constructor_args=(cfg,),
+        functools.partial(sign_batch, cfg=cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=eng.signature_batch_size,
-        concurrency=(1, eng.signature_concurrency),
-        num_cpus=1,
     )
 
 
@@ -91,8 +95,11 @@ def dedup_pages(
     # joins cap their fan-out separately: every Dataset.join spawns ONE
     # AGGREGATOR ACTOR PER PARTITION (hash_shuffle.py caps at 64) — at
     # num_partitions=60 a two-join stage spawns 120 worker processes
-    # whose startup dwarfs the data work at sandbox scale
-    join_partitions = min(num_partitions, 32)
+    # whose startup dwarfs the data work at sandbox scale.  Scale with
+    # the session's CPU count (on a multi-node cluster this is the
+    # fleet-wide core count, which is the right fan-out order).
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    join_partitions = min(num_partitions, max(4, cluster_cpus))
 
     docs = signatures.select_columns(["doc_id", "text"])
 
@@ -103,13 +110,22 @@ def dedup_pages(
     # map_groups samples boundaries with a blocking ray.get inside the
     # scheduling loop while actor pools hold the CPUs)
     exact = exact_dup_edges(signatures, num_partitions).materialize()
+    metrics["t_exact_s"] = round(time.perf_counter() - t1, 3)
+    tx = time.perf_counter()
     pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
     metrics.update(lsh_metrics)
+    pairs = pairs.materialize()
+    metrics["n_candidate_pairs"] = pairs.count()
+    metrics["t_lsh_s"] = round(time.perf_counter() - tx, 3)
+    tx = time.perf_counter()
     near = verify_pairs(pairs, docs, cfg,
                         batch_size=eng.verify_batch_size,
                         num_partitions=join_partitions,
                         concurrency=eng.verify_concurrency).materialize()
+    metrics["t_verify_s"] = round(time.perf_counter() - tx, 3)
+    tx = time.perf_counter()
     substr = substring_edges(signatures, cfg, join_partitions).materialize()
+    metrics["t_substr_s"] = round(time.perf_counter() - tx, 3)
 
     edges = exact.union(near).union(substr).materialize()
     metrics["edges"] = edges.count()
@@ -192,7 +208,8 @@ def run_dedup_checkpointed(
         exact = exact_dup_edges(signatures, num_partitions).materialize()
         pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
         metrics.update(lsh_metrics)
-        jp = min(num_partitions, 32)
+        jp = min(num_partitions,
+                 max(4, int(ray.cluster_resources().get("CPU", 8))))
         near = verify_pairs(pairs, docs, cfg,
                             batch_size=eng.verify_batch_size,
                             num_partitions=jp,
@@ -216,7 +233,8 @@ def run_dedup_checkpointed(
             edges, eng, force_distributed=force_distributed_cc
         )
         metrics.update(cc_metrics)
-        jp = min(num_partitions, 32)
+        jp = min(num_partitions,
+                 max(4, int(ray.cluster_resources().get("CPU", 8))))
         universe = signatures.select_columns(["url", "doc_id"])
         joined = universe.join(
             heal_blocks(labels, max(2, jp // 4)),

@@ -45,13 +45,14 @@ def sign_docs(
     eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
 ) -> Dataset:
     """documents(doc_id, text, …) → signer output (stages/signatures.py)."""
+    import functools
+
+    from hyrise_generalized_dedup_ray.stages.signatures import sign_batch
+
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        SignerActor,
-        fn_constructor_args=(cfg,),
+        functools.partial(sign_batch, cfg=cfg),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=eng.signature_batch_size,
-        concurrency=(1, eng.signature_concurrency),
-        num_cpus=1,
     )
 
 

@@ -93,6 +93,27 @@ class SignerActor:
         return pa.table(cols)
 
 
+# Per-worker-process signer cache: signing runs as plain TASKS (which
+# reuse Ray's warm worker processes and scale elastically with the CPU
+# count) while the permutation matrix is still built once per process —
+# the build-once-state benefit of an actor pool without paying a fresh
+# process spawn per actor.  A dedicated actor pool remains the right
+# shape only for state that is expensive to rebuild (models, big
+# indexes — cf. the broadcast joiner in relational/operators.py);
+# SignatureConfig state is two 128-element u64 arrays.
+_PROCESS_SIGNERS: dict[str, "SignerActor"] = {}
+
+
+def sign_batch(batch: pa.Table, cfg: SignatureConfig,
+               with_fingerprints: bool = True) -> pa.Table:
+    key = f"{cfg.config_hash()}-{with_fingerprints}"
+    signer = _PROCESS_SIGNERS.get(key)
+    if signer is None:
+        signer = _PROCESS_SIGNERS.setdefault(
+            key, SignerActor(cfg, with_fingerprints))
+    return signer(batch)
+
+
 def _list_of_u64(mat: np.ndarray) -> pa.Array:
     """(n, k) uint64 matrix → Arrow list<int64> array (bit-cast values)."""
     n, k = mat.shape

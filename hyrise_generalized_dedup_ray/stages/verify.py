@@ -50,25 +50,46 @@ def attach_texts(
     return j2
 
 
+# per-worker-process shingle-set cache: a hot document (boilerplate,
+# big dup cluster) appears in thousands of candidate pairs spread over
+# many batches — re-shingling it per batch dominated the verify stage.
+# Keyed by (config hash, full text — exact, no collision risk); bounded FIFO.
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_MAX = 8192
+
+
 class JaccardVerifier:
-    """Actor-pool batch verifier: exact shingle-set Jaccard ≥ threshold."""
+    """Batch verifier: exact shingle-set Jaccard ≥ threshold (runs as
+    tasks; state is per-worker-process caches, see stages/signatures.py)."""
 
     def __init__(self, cfg: SignatureConfig):
         self.cfg = cfg
+        self.cfg_key = cfg.config_hash()
+
+    def _sets_for(self, texts: list[str]) -> list[np.ndarray]:
+        cfg = self.cfg
+        missing = [t for t in texts if (self.cfg_key, t) not in _SHINGLE_CACHE]
+        if missing:
+            flat, offsets = batch_shingles(missing, cfg.shingle_n)
+            for i, t in enumerate(missing):
+                if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+                    _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+                _SHINGLE_CACHE[(self.cfg_key, t)] = np.unique(
+                    flat[offsets[i]:offsets[i + 1]])
+        return [_SHINGLE_CACHE[(self.cfg_key, t)] for t in texts]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
-        # shingle each distinct text once per batch
+        # shingle each distinct text once per batch (cache-backed)
         uniq: dict[str, int] = {}
         order: list[str] = []
         for t in ta + tb:
             if t not in uniq:
                 uniq[t] = len(order)
                 order.append(t)
-        flat, offsets = batch_shingles(order, cfg.shingle_n)
-        sets = unique_shingle_sets(flat, offsets)
+        sets = self._sets_for(order)
         jac = np.fromiter(
             (jaccard_sorted(sets[uniq[x]], sets[uniq[y]]) for x, y in zip(ta, tb)),
             dtype=np.float64, count=len(ta),
@@ -85,14 +106,22 @@ def verify_pairs(
     batch_size: int = 2048, num_partitions: int = 32,
     concurrency: int = 8,
 ) -> Dataset:
-    """Candidate pairs → verified near-duplicate edges (a,b)."""
+    """Candidate pairs → verified near-duplicate edges (a,b).
+
+    The verifier runs as plain tasks (warm-worker reuse, elastic
+    parallelism) — its only state is the config; see the process-cache
+    note in stages/signatures.py for when an actor pool is the right
+    shape instead."""
+
     with_texts = attach_texts(pairs, docs, num_partitions)
+
+    def verify_batch(batch: pa.Table, cfg=cfg) -> pa.Table:
+        return JaccardVerifier(cfg)(batch)
+
     return with_texts.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(cfg,),
+        verify_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
     )
 
 
