@@ -464,6 +464,50 @@ def flagship_dedup(sf_dir: str):
     return labels
 
 
+def multi_pred_join(sf_dir: str):
+    """Multi-predicate join (§2.5): equality on nationkey + residual
+    s_acctbal < c_acctbal evaluated on the probe output."""
+    from hyrise_generalized_dedup_ray.relational import multi_predicate_join
+
+    s = load_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
+                                                "s_acctbal"])
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey",
+                                                "c_acctbal"])
+    j = multi_predicate_join(
+        s, c, on=["s_nationkey"], right_on=["c_nationkey"],
+        residual=col("s_acctbal") < col("c_acctbal"), num_partitions=8)
+    return aggregate(j, ["s_nationkey"], {"n_pairs": agg("count_star")})
+
+
+def theta_join_regions(sf_dir: str):
+    """Non-equi join (JoinNestedLoop fallback): nation x region pairs
+    with n_regionkey < r_regionkey."""
+    from hyrise_generalized_dedup_ray.relational import theta_join
+
+    n = load_table(sf_dir, "nation")
+    r_tbl = pa.concat_tables(
+        [t for t in ray.get(load_table(sf_dir, "region").to_arrow_refs())
+         if t.num_columns > 0])
+    j = theta_join(n, r_tbl, col("n_regionkey") < col("r_regionkey"))
+    return projection(j, {"n_name": "n_name", "r_name": "r_name"})
+
+
+def meta_tables(sf_dir: str):
+    """Meta-table analog (§2.11, utils/meta_tables/): per-table row and
+    column counts computed from the live catalog."""
+    from hyrise_generalized_dedup_ray.relational.catalog import TABLES
+
+    names, rows, cols = [], [], []
+    for t in TABLES:
+        ds = load_table(sf_dir, t)
+        names.append(t)
+        rows.append(ds.count())
+        cols.append(len(ds.schema().names))
+    return pa.table({"table_name": pa.array(names),
+                     "n_rows": pa.array(rows, type=I64),
+                     "n_cols": pa.array(cols, type=I64)})
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -500,6 +544,9 @@ QUERIES = {
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "ann_brute_force": ann_brute_force,
     "ann_lsh": ann_lsh,
+    "multi_pred_join": multi_pred_join,
+    "theta_join_regions": theta_join_regions,
+    "meta_tables": meta_tables,
     "multimodal_decode": multimodal_decode,
     "flagship_dedup": flagship_dedup,
 }
@@ -594,6 +641,28 @@ ORACLE_SQL = {
         EXCEPT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
     """,
     "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "multi_pred_join": """
+        SELECT s_nationkey, COUNT(*) AS n_pairs
+        FROM supplier JOIN customer ON s_nationkey = c_nationkey
+                                   AND s_acctbal < c_acctbal
+        GROUP BY s_nationkey
+    """,
+    "theta_join_regions": """
+        SELECT n_name, r_name FROM nation, region
+        WHERE n_regionkey < r_regionkey
+    """,
+    "meta_tables": """
+        SELECT 'region' AS table_name, COUNT(*) AS n_rows, 2 AS n_cols FROM region
+        UNION ALL SELECT 'nation', COUNT(*), 3 FROM nation
+        UNION ALL SELECT 'customer', COUNT(*), 5 FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*), 4 FROM supplier
+        UNION ALL SELECT 'part', COUNT(*), 6 FROM part
+        UNION ALL SELECT 'orders', COUNT(*), 6 FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*), 11 FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*), 6 FROM events
+        UNION ALL SELECT 'documents', COUNT(*), 5 FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*), 3 FROM embeddings
+    """,
     "agg_stats_lineitem": """
         SELECT l_returnflag,
                CAST(ROUND(MIN(l_quantity)*100) AS BIGINT) AS min_qty_c,

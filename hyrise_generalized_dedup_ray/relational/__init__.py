@@ -14,7 +14,8 @@ from hyrise_generalized_dedup_ray.relational.expressions import (  # noqa: F401
 )
 from hyrise_generalized_dedup_ray.relational.operators import (  # noqa: F401
     agg, aggregate, alias, anti_join, broadcast_join, difference, distinct,
-    hash_join, intersect, limit, product, projection, semi_join, sort,
-    table_scan, top_k, union_all, union_distinct,
+    hash_join, intersect, limit, multi_predicate_join, product, projection,
+    semi_join, sort, table_scan, theta_join, top_k, union_all,
+    union_distinct,
 )
 from hyrise_generalized_dedup_ray.relational.catalog import load_table  # noqa: F401

@@ -289,6 +289,28 @@ def anti_join(left: Dataset, right: pa.Table | Dataset, on: Sequence[str],
     return broadcast_join(left, right, on, right_on, how="anti")
 
 
+def multi_predicate_join(
+    left: Dataset, right: Dataset, on: Sequence[str],
+    right_on: Sequence[str] | None, residual,
+    how: str = "inner", num_partitions: int = 32,
+) -> Dataset:
+    """Equality join + secondary predicates — the reference evaluates
+    extra predicates during the probe (multi_predicate_join_evaluator.cpp);
+    ours composes hash_join with a residual table_scan, which Ray fuses
+    into the join's output stage (same I/O, same result)."""
+    joined = hash_join(left, right, on, right_on, how, num_partitions)
+    return table_scan(joined, residual)
+
+
+def theta_join(left: Dataset, small: pa.Table, predicate) -> Dataset:
+    """Non-equi (theta) join against a broadcast small side — the
+    JoinNestedLoop fallback (join_nested_loop.hpp:18): cross product
+    per batch, then the predicate mask.  Only for genuinely small right
+    sides; range predicates over two large sides belong to a sort-merge
+    composition (ds.sort + windowed map_groups, SURVEY.md §2.5)."""
+    return table_scan(product(left, small), predicate)
+
+
 def product(left: Dataset, right: pa.Table) -> Dataset:
     """Product / cross join (product.hpp:19): right side broadcast,
     per-batch cartesian via repeat/tile takes (tests & tiny dims only,
