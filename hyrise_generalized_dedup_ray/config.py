@@ -94,17 +94,22 @@ class EngineConfig:
     """Execution-side knobs — everything that affects HOW (not WHAT) is
     computed, so changing these must never change results."""
 
-    signature_batch_size: int = 1024     # docs per batch in the signer actor pool
-    signature_concurrency: int = 8       # signer actor pool size
+    signature_batch_size: int = 1024     # docs per signing batch (task-based)
     band_salt_threshold: int = 256       # band groups larger than this get salted
     band_salt_buckets: int = 16          # sub-buckets for a hot band
     max_pairs_per_band: int = 10_000     # hard cap on pairs emitted per (possibly salted) band group; overflow is logged
     cc_max_rounds: int = 64              # star-contraction round cap (log n expected)
+    simhash_block_cap: int = 2048        # SimHash pigeonhole blocks larger than this are
+                                         # split into deterministic sub-blocks (O(g·cap)
+                                         # instead of O(g²) on boilerplate mega-blocks)
     suffix_buckets: int = 16             # hash(url) buckets for the suffix-array stage
     suffix_max_bucket_bytes: int = 64 * 1024 * 1024  # text cap per suffix-array partition
     suffix_rotations: int = 2            # hash-rotated re-bucketing rounds (recall for cross-bucket repeats)
     verify_batch_size: int = 2048        # candidate pairs per verification batch
-    verify_concurrency: int = 8          # Jaccard-verifier actor pool size
+    join_partition_cap: int = 16         # Dataset.join fan-out cap: per-partition aggregator
+                                         # fixed costs beat width gains below ~32 MB/partition
+                                         # (measured 16 > 32 ≈ 8 at the 60k-doc payload);
+                                         # raise for real multi-node payloads
     small_cc_threshold: int = 2_000_000  # below this many edges, finish union-find on the driver
 
     def config_hash(self) -> str:

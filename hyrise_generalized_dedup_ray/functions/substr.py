@@ -84,6 +84,43 @@ def winnow_fingerprints(text: str, k: int = SUBSTR_K, w: int = SUBSTR_W) -> np.n
     return np.unique(_sliding_min(h, w))
 
 
+def batch_winnow_fingerprints(
+    texts: list[str], k: int = SUBSTR_K, w: int = SUBSTR_W
+) -> list[np.ndarray]:
+    """Winnowed fingerprints for a WHOLE batch, bit-identical to
+    ``[winnow_fingerprints(t) for t in texts]`` (which stays the
+    oracle's reference form).
+
+    The k in-place rolling-hash passes run ONCE over the concatenated
+    byte buffer instead of once per document — per-doc gram hashes are
+    exactly the in-document slices of the buffer's hash array, because
+    a gram at offset i only reads bytes [i, i+k) and we only keep
+    offsets whose gram lies inside one document.  Only the tiny
+    per-doc sliding-min + unique remain in the Python loop."""
+    datas = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(d) for d in datas], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+    n = len(buf)
+    num = n - k + 1
+    if num > 0:
+        h = np.zeros(num, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h *= _GRAM_A
+                h += buf[j : j + num]
+    out: list[np.ndarray] = []
+    empty = np.empty(0, dtype=np.uint64)
+    for i in range(len(datas)):
+        cnt = lens[i] - k + 1
+        if cnt <= 0:
+            out.append(empty)
+            continue
+        hh = h[offs[i] : offs[i] + cnt]
+        out.append(np.unique(hh) if cnt < w else np.unique(_sliding_min(hh, w)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Per-partition suffix array
 
@@ -148,6 +185,30 @@ def adjacent_lcp(sa: np.ndarray, tables: list[np.ndarray], n: int) -> np.ndarray
     return lcp
 
 
+def _two_doc_has_repeat(t1: bytes, t2: bytes, min_len: int) -> bool | None:
+    """Exact ≥min_len shared-run predicate for TWO documents without a
+    suffix array: the docs share a run of length ≥ L iff they share an
+    L-gram, tested by intersecting rolling-hash sets and byte-verifying
+    one witness.  Returns None when every common hash fails
+    byte-verification (a 64-bit collision) — the caller falls back to
+    the suffix array for an exact answer.  This is the hot path: most
+    fingerprint docsets contain exactly two documents, and the full
+    prefix-doubling suffix array paid ~50× more per group."""
+    if len(t1) < min_len or len(t2) < min_len:
+        return False
+    h1 = gram_hashes(t1, min_len)
+    h2 = gram_hashes(t2, min_len)
+    u1, i1 = np.unique(h1, return_index=True)
+    u2, i2 = np.unique(h2, return_index=True)
+    common, c1, c2 = np.intersect1d(u1, u2, return_indices=True)
+    if len(common) == 0:
+        return False
+    for p1, p2 in zip(i1[c1], i2[c2]):
+        if t1[p1:p1 + min_len] == t2[p2:p2 + min_len]:
+            return True
+    return None  # only hash collisions — ambiguous, use the suffix array
+
+
 def cross_doc_repeats(
     texts: list[bytes], min_len: int
 ) -> list[tuple[int, int]]:
@@ -163,6 +224,12 @@ def cross_doc_repeats(
     """
     if len(texts) < 2:
         return []
+    if len(texts) == 2:
+        # provably the same answer as the suffix array for a pair:
+        # adjacent cross-doc LCP ≥ L exists ⟺ a shared L-gram exists
+        fast = _two_doc_has_repeat(texts[0], texts[1], min_len)
+        if fast is not None:
+            return [(0, 1)] if fast else []
     parts = []
     doc_of = []
     for d, t in enumerate(texts):

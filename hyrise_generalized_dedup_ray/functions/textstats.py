@@ -67,20 +67,36 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-def language_scores(texts: list[str]) -> tuple[list[str], np.ndarray]:
+def language_scores(texts: list[str] | pa.Array) -> tuple[list[str], np.ndarray]:
     """Stopword-hit language ID: per text, the language whose stopword
     list matches the most tokens (ties → lexicographic language code;
-    zero hits → 'und').  Returns (pred_langs, hit_count_matrix)."""
+    zero hits → 'und').  Returns (pred_langs, hit_count_matrix).
+
+    Fully vectorized: one lowercase + whitespace-split pass (Arrow
+    kernels), then per-language ``pc.is_in`` over the flattened token
+    array with per-document sums via ``np.add.reduceat`` — no per-token
+    Python loop (identical results to the naive
+    ``for w in t.lower().split()`` definition)."""
     langs = sorted(STOPWORDS)
-    sw_sets = [frozenset(STOPWORDS[code]) for code in langs]
-    hits = np.zeros((len(texts), len(langs)), dtype=np.int64)
-    preds: list[str] = []
-    for i, t in enumerate(texts):
-        toks = t.lower().split()
-        for j, sw in enumerate(sw_sets):
-            hits[i, j] = sum(1 for w in toks if w in sw)
-        if hits[i].max() == 0:
-            preds.append("und")
-        else:
-            preds.append(langs[int(hits[i].argmax())])
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    hits = np.zeros((n, len(langs)), dtype=np.int64)
+    nonempty = offsets[:-1] < offsets[1:]
+    for j, code in enumerate(langs):
+        m = pc.is_in(flat, value_set=pa.array(list(STOPWORDS[code])))
+        mi = pc.cast(m, pa.int64()).to_numpy(zero_copy_only=False)
+        if len(mi):
+            sums = np.add.reduceat(mi, np.minimum(offsets[:-1], len(mi) - 1))
+            hits[:, j] = np.where(nonempty, sums, 0)
+    best = hits.argmax(axis=1)
+    any_hit = hits.max(axis=1) > 0
+    preds = [langs[int(b)] if h else "und" for b, h in zip(best, any_hit)]
     return preds, hits

@@ -55,6 +55,12 @@ def compute_signatures(
     extracted = pages.map_batches(
         extract_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    # read-side parallelism comes from the input layout: one read task
+    # per row-group bundle, so a many-row-group / many-file corpus
+    # (the only kind at scale) spreads extract+sign across the cluster
+    # with no extra pass.  (A repartition here was tried and removed:
+    # it cost more than it parallelized — see util.spread_blocks for
+    # the single-row-group fallback.)
     # task-based with per-worker-process signer cache (signatures.py):
     # scales with whatever CPUs the session has, no actor-spawn cost
     return extracted.map_batches(
@@ -63,6 +69,65 @@ def compute_signatures(
         zero_copy_batch=True,
         batch_size=eng.signature_batch_size,
     )
+
+
+def _edge_branches(
+    signatures: Dataset,
+    cfg: SignatureConfig,
+    eng: EngineConfig,
+    num_partitions: int,
+    join_partitions: int,
+    metrics: dict,
+) -> Dataset:
+    """Run the three edge branches (exact, LSH→verify, substring)
+    CONCURRENTLY on driver threads and return the union of their
+    materialized edge Datasets.
+
+    Each branch is its own Dataset execution (own StreamingExecutor);
+    running them from separate threads lets Ray interleave their tasks,
+    so one branch's narrow tail (small groupbys, join aggregator
+    spawns) overlaps another branch's wide middle instead of leaving
+    most of the cluster idle between sequential ``materialize()``
+    calls — this was the single largest scaling-efficiency loss in the
+    sequential revision (fusing the graphs into one union pipeline is
+    NOT equivalent: the sort-based map_groups stages block on boundary
+    sampling inside one executor's scheduling loop and can deadlock it
+    under tight CPU budgets; three independent executors cannot)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs = signatures.select_columns(["doc_id", "text"])
+
+    def run_exact() -> Dataset:
+        t = time.perf_counter()
+        ds = exact_dup_edges(signatures, num_partitions).materialize()
+        metrics["t_exact_s"] = round(time.perf_counter() - t, 3)
+        return ds
+
+    def run_lsh_verify() -> Dataset:
+        t = time.perf_counter()
+        pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
+        pairs = pairs.materialize()
+        metrics.update(lsh_metrics)
+        metrics["n_candidate_pairs"] = pairs.count()
+        metrics["t_lsh_s"] = round(time.perf_counter() - t, 3)
+        t2 = time.perf_counter()
+        near = verify_pairs(pairs, docs, cfg,
+                            batch_size=eng.verify_batch_size,
+                            num_partitions=join_partitions).materialize()
+        metrics["t_verify_s"] = round(time.perf_counter() - t2, 3)
+        return near
+
+    def run_substr() -> Dataset:
+        t = time.perf_counter()
+        ds = substring_edges(signatures, cfg, join_partitions).materialize()
+        metrics["t_substr_s"] = round(time.perf_counter() - t, 3)
+        return ds
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(f)
+                   for f in (run_exact, run_lsh_verify, run_substr)]
+        exact, near, substr = [f.result() for f in futures]
+    return exact.union(near).union(substr)
 
 
 def dedup_pages(
@@ -81,6 +146,9 @@ def dedup_pages(
     small inputs take few partitions (fixed per-partition overhead
     dominates below ~1k docs/partition), capped at 256 for the scale
     path where it would be set explicitly per cluster size."""
+    from hyrise_generalized_dedup_ray.util import tune_data_context
+
+    tune_data_context()
     metrics: dict = {}
     t0 = time.perf_counter()
 
@@ -93,41 +161,19 @@ def dedup_pages(
         num_partitions = int(min(256, max(4, metrics["docs"] // 1000)))
     metrics["num_partitions"] = num_partitions
     # joins cap their fan-out separately: every Dataset.join spawns ONE
-    # AGGREGATOR ACTOR PER PARTITION (hash_shuffle.py caps at 64) — at
-    # num_partitions=60 a two-join stage spawns 120 worker processes
-    # whose startup dwarfs the data work at sandbox scale.  Scale with
-    # the session's CPU count (on a multi-node cluster this is the
-    # fleet-wide core count, which is the right fan-out order).
+    # AGGREGATOR ACTOR PER PARTITION with fixed spawn + concat costs,
+    # so width only pays off once each partition carries real payload
+    # (~32 MB+).  Width follows the cluster CPU count up to
+    # eng.join_partition_cap (raise the cap for real multi-node
+    # payloads; the formula keeps scaling with fleet cores).
     cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
-    join_partitions = min(num_partitions, max(4, cluster_cpus))
-
-    docs = signatures.select_columns(["doc_id", "text"])
+    join_partitions = min(num_partitions,
+                          max(4, min(eng.join_partition_cap,
+                                     cluster_cpus // 2)))
 
     t1 = time.perf_counter()
-    # each edge branch materializes on its own: fusing three
-    # shuffle+actor-pool graphs into one union pipeline can deadlock
-    # Ray's streaming executor under tight CPU budgets (the sort-based
-    # map_groups samples boundaries with a blocking ray.get inside the
-    # scheduling loop while actor pools hold the CPUs)
-    exact = exact_dup_edges(signatures, num_partitions).materialize()
-    metrics["t_exact_s"] = round(time.perf_counter() - t1, 3)
-    tx = time.perf_counter()
-    pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
-    metrics.update(lsh_metrics)
-    pairs = pairs.materialize()
-    metrics["n_candidate_pairs"] = pairs.count()
-    metrics["t_lsh_s"] = round(time.perf_counter() - tx, 3)
-    tx = time.perf_counter()
-    near = verify_pairs(pairs, docs, cfg,
-                        batch_size=eng.verify_batch_size,
-                        num_partitions=join_partitions,
-                        concurrency=eng.verify_concurrency).materialize()
-    metrics["t_verify_s"] = round(time.perf_counter() - tx, 3)
-    tx = time.perf_counter()
-    substr = substring_edges(signatures, cfg, join_partitions).materialize()
-    metrics["t_substr_s"] = round(time.perf_counter() - tx, 3)
-
-    edges = exact.union(near).union(substr).materialize()
+    edges = _edge_branches(signatures, cfg, eng, num_partitions,
+                           join_partitions, metrics).materialize()
     metrics["edges"] = edges.count()
     metrics["t_edges_s"] = round(time.perf_counter() - t1, 3)
 
@@ -185,7 +231,9 @@ def run_dedup_checkpointed(
         checkpoint_stage,
         input_fingerprint_for_path,
     )
+    from hyrise_generalized_dedup_ray.util import tune_data_context
 
+    tune_data_context()
     metrics: dict = {}
     t0 = time.perf_counter()
     in_fp = input_fingerprint_for_path(path)
@@ -203,19 +251,11 @@ def run_dedup_checkpointed(
     t1 = time.perf_counter()
 
     def build_edges() -> Dataset:
-        # sequential branch materialization — see dedup_pages comment
-        docs = signatures.select_columns(["doc_id", "text"])
-        exact = exact_dup_edges(signatures, num_partitions).materialize()
-        pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
-        metrics.update(lsh_metrics)
         jp = min(num_partitions,
-                 max(4, int(ray.cluster_resources().get("CPU", 8))))
-        near = verify_pairs(pairs, docs, cfg,
-                            batch_size=eng.verify_batch_size,
-                            num_partitions=jp,
-                            concurrency=eng.verify_concurrency).materialize()
-        substr = substring_edges(signatures, cfg, jp).materialize()
-        return exact.union(near).union(substr)
+                 max(4, min(eng.join_partition_cap,
+                            int(ray.cluster_resources().get("CPU", 8)) // 2)))
+        return _edge_branches(signatures, cfg, eng, num_partitions, jp,
+                              metrics)
 
     edges, resumed_edges = checkpoint_stage(
         "edges", ckpt_dir, eng_hash, in_fp, build_edges,
@@ -234,7 +274,8 @@ def run_dedup_checkpointed(
         )
         metrics.update(cc_metrics)
         jp = min(num_partitions,
-                 max(4, int(ray.cluster_resources().get("CPU", 8))))
+                 max(4, min(eng.join_partition_cap,
+                            int(ray.cluster_resources().get("CPU", 8)) // 2)))
         universe = signatures.select_columns(["url", "doc_id"])
         joined = universe.join(
             heal_blocks(labels, max(2, jp // 4)),

@@ -38,6 +38,9 @@ from hyrise_generalized_dedup_ray.stages.lsh import candidate_pairs, dedupe_pair
 from hyrise_generalized_dedup_ray.stages.signatures import SignerActor, _list_of_u64
 from hyrise_generalized_dedup_ray.stages.verify import verify_pairs
 
+# byte-wise popcount lookup table for Hamming distance kernels
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
 
 def sign_docs(
     docs: Dataset,
@@ -49,7 +52,9 @@ def sign_docs(
 
     from hyrise_generalized_dedup_ray.stages.signatures import sign_batch
 
-    return docs.select_columns(["doc_id", "text"]).map_batches(
+    from hyrise_generalized_dedup_ray.util import spread_blocks
+
+    return spread_blocks(docs.select_columns(["doc_id", "text"])).map_batches(
         functools.partial(sign_batch, cfg=cfg),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=eng.signature_batch_size,
@@ -135,9 +140,46 @@ def simhash_near_dup_pairs(
         explode_chunks, batch_format="pyarrow", zero_copy_batch=True
     )
 
+    block_cap = eng.simhash_block_cap
+
+    def _block_hamming_pairs(gids: np.ndarray, gsims: np.ndarray,
+                             out_a: list, out_b: list) -> None:
+        """Exact Hamming ≤ d pairs of ONE (sub-)block, memory-bounded:
+        the XOR/popcount matrix is computed in row chunks with a
+        256-entry popcount LUT (never the full g×g×8 unpackbits tensor
+        that OOMed on boilerplate mega-blocks)."""
+        n = len(gids)
+        chunk = max(1, min(256, (1 << 22) // max(n, 1)))  # ≤ ~32 MB
+        for s in range(0, n, chunk):
+            rows = gsims[s:s + chunk]
+            xor = rows[:, None] ^ gsims[None, :]
+            pop = _POPCOUNT[xor.view(np.uint8).reshape(
+                len(rows), n, 8)].sum(axis=2, dtype=np.int64)
+            ai, bi = np.nonzero(pop <= max_hamming)
+            ai = ai + s
+            keep = ai < bi  # upper triangle only
+            a, b = gids[ai[keep]], gids[bi[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+
     def block_pairs_partition(part: pa.Table) -> pa.Table:
         """All blocks of one hash partition; Python loop only over
-        blocks with ≥2 docs (functions/grouping pattern)."""
+        blocks with ≥2 docs (functions/grouping pattern).
+
+        Hot-block defense (the boilerplate-skew case the LSH stage
+        salts, stages/lsh.py): a block larger than
+        ``eng.simhash_block_cap`` is split into deterministic
+        splitmix64(doc_id ^ block_key) sub-blocks of ≤ cap docs, and
+        exact Hamming runs per sub-block — O(g²) work becomes
+        O(g·cap).  The split VARIES WITH THE BLOCK KEY, so a true ≤d
+        pair separated in one chunk's mega-block usually co-locates in
+        another of its d+1 pigeonhole blocks (miss probability
+        (1-1/r)^(d+1) per fully-shared-boilerplate pair at split ratio
+        r) — bounded work at a quantified, deterministic recall cost
+        on pure-boilerplate collisions only."""
+        from hyrise_generalized_dedup_ray.functions.hashing import \
+            splitmix64
+
         bkey = part.column("block_key").to_numpy(zero_copy_only=False)
         ids = part.column("doc_id").to_numpy(zero_copy_only=False)
         sims = part.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -152,14 +194,17 @@ def simhash_near_dup_pairs(
             gsims = sims[s:e][first]
             if len(gids) < 2:
                 continue
-            xor = gsims[:, None] ^ gsims[None, :]
-            pop = np.unpackbits(
-                xor.view(np.uint8).reshape(len(gids), len(gids), 8),
-                axis=2).sum(axis=2)
-            ai, bi = np.nonzero(np.triu(pop <= max_hamming, k=1))
-            a, b = gids[ai], gids[bi]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
+            if len(gids) <= block_cap:
+                _block_hamming_pairs(gids, gsims, out_a, out_b)
+            else:
+                n_sub = -(-len(gids) // block_cap)
+                mixed = gids.astype(np.int64).view(np.uint64) ^ \
+                    np.uint64(int(bkey[s]) & 0xFFFFFFFFFFFFFFFF)
+                salts = (splitmix64(mixed) % np.uint64(n_sub)).astype(np.int64)
+                for sub in range(n_sub):
+                    m = salts == sub
+                    if m.sum() >= 2:
+                        _block_hamming_pairs(gids[m], gsims[m], out_a, out_b)
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         return pa.table({
@@ -232,7 +277,7 @@ def ngram_jaccard_pairs(
         CharSigner, fn_constructor_args=(cfg,),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=eng.signature_batch_size,
-        concurrency=(1, eng.signature_concurrency), num_cpus=1,
+        concurrency=(1, 8), num_cpus=1,
     ).materialize()
     pairs, _ = candidate_pairs(sigs, eng, num_partitions)
     from hyrise_generalized_dedup_ray.stages.verify import attach_texts

@@ -492,6 +492,137 @@ def theta_join_regions(sf_dir: str):
     return projection(j, {"n_name": "n_name", "r_name": "r_name"})
 
 
+def sort_orders_nulls(sf_dir: str):
+    """ORDER BY with NULLS FIRST + tiebreak + LIMIT (Sort parity,
+    sort.hpp:17-30, types.hpp:219-221): a nullable key is synthesized
+    with CASE, sorted descending NULLS FIRST, o_orderkey breaks ties;
+    the output carries an explicit rank so the oracle checks the TOTAL
+    ORDER, not just the row set."""
+    o = load_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    p = projection(o, {
+        "o_orderkey": "o_orderkey",
+        "key": case((col("o_orderstatus") == lit("O"),
+                     cast(lit(None), pa.float64())),
+                    else_=col("o_totalprice")),
+    })
+    s = R.sort(p, ["key"], descending=True, nulls_first=True,
+               tiebreak="o_orderkey").limit(50)
+    rows = s.take_all()  # 50 rows, in sorted order
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(rows) + 1), type=I64),
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=I64),
+        "key": pa.array([r["key"] for r in rows], type=pa.float64()),
+    })
+
+
+def right_join_customer_orders(sf_dir: str):
+    """JoinHash Right Outer mode (join_hash.hpp:20-46): every customer
+    survives; customers without a big order aggregate NULL order keys."""
+    o = load_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                              "o_totalprice"])
+    big = table_scan(o, col("o_totalprice") > lit(300_000.0))
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(big, c, on=["o_custkey"], right_on=["c_custkey"],
+                  how="right_outer", num_partitions=8)
+    return aggregate(j, ["c_mktsegment"], {
+        "n_rows": agg("count_star"), "n_orders": agg("count", "o_orderkey"),
+    })
+
+
+def full_outer_join_counts(sf_dir: str):
+    """JoinHash FullOuter mode (+ JoinSortMerge Full semantics,
+    join_sort_merge.hpp:25): unmatched rows on BOTH sides survive
+    null-padded; the aggregate counts each species."""
+    o = load_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                              "o_totalprice"])
+    big = table_scan(o, col("o_totalprice") > lit(400_000.0))
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    rich = table_scan(c, col("c_acctbal") > lit(7500.0))
+    j = hash_join(big, rich, on=["o_custkey"], right_on=["c_custkey"],
+                  how="full_outer", num_partitions=8)
+    # Ray's outer join coalesces the right key into the left key column;
+    # right-side presence is counted via the (non-null-filtered) payload
+    return aggregate(j, [], {
+        "n": agg("count_star"),
+        "n_orders": agg("count", "o_orderkey"),
+        "n_cust": agg("count", "c_acctbal"),
+    })
+
+
+def exists_correlated(sf_dir: str):
+    """Correlated EXISTS rewritten to joins (exists_expression.hpp:7-12,
+    subquery_to_join_rule.cpp): equality correlation → join key,
+    residual correlated non-equi predicate → probe filter + semi join."""
+    from hyrise_generalized_dedup_ray.relational import exists_join
+
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    o = load_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    e = exists_join(c, o, on=["c_custkey"], right_on=["o_custkey"],
+                    residual=col("o_totalprice") > col("c_acctbal") * lit(100.0),
+                    num_partitions=8)
+    return projection(e, {"c_custkey": "c_custkey", "c_acctbal": "c_acctbal"})
+
+
+def not_exists_correlated(sf_dir: str):
+    """Correlated NOT EXISTS — the anti-join rewrite of the same rule."""
+    from hyrise_generalized_dedup_ray.relational import exists_join
+
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    o = load_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    e = exists_join(c, o, on=["c_custkey"], right_on=["o_custkey"],
+                    residual=col("o_totalprice") > col("c_acctbal") * lit(100.0),
+                    negate=True, num_partitions=8)
+    return projection(e, {"c_custkey": "c_custkey", "c_acctbal": "c_acctbal"})
+
+
+def range_join_events(sf_dir: str):
+    """Large-large non-equi band join (JoinSortMerge analog,
+    join_sort_merge.hpp:15-25): event pairs within a 5-second window,
+    via range-bucketed equi-join + residual band predicate — both sides
+    shuffle ONCE on the bucket key, no global sort."""
+    from hyrise_generalized_dedup_ray.relational import band_join
+
+    ev = load_table(sf_dir, "events", columns=["event_id", "ts"])
+    a = projection(ev, {"a_id": "event_id", "a_ts": cast(col("ts"), I64)})
+    b = projection(ev, {"b_id": "event_id", "b_ts": cast(col("ts"), I64)})
+    j = band_join(a, b, "a_ts", "b_ts", lo=0, hi=5_000_000,
+                  num_partitions=8)
+    f = table_scan(j, col("b_id") > col("a_id"))
+    return projection(f, {"a_id": "a_id", "b_id": "b_id",
+                          "dt_us": col("b_ts") - col("a_ts")})
+
+
+def meta_segments(sf_dir: str):
+    """meta_segments/meta_chunks analog (§2.11,
+    src/lib/utils/meta_tables/meta_segments_table.cpp): one row per
+    Parquet row group (the storage analog of a Hyrise chunk) with row
+    count, compressed bytes and column count — the physical-layout
+    introspection surface that the lineage/metrics story builds on.
+    Metadata-only: reads footers, never data pages."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hyrise_generalized_dedup_ray.relational.catalog import TABLES
+
+    tn, rg, nr, nb, nc = [], [], [], [], []
+    for t in TABLES:
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata
+        for i in range(md.num_row_groups):
+            g = md.row_group(i)
+            tn.append(t)
+            rg.append(i)
+            nr.append(g.num_rows)
+            nb.append(g.total_byte_size)
+            nc.append(g.num_columns)
+    return pa.table({"table_name": pa.array(tn),
+                     "row_group_id": pa.array(rg, type=I64),
+                     "n_rows": pa.array(nr, type=I64),
+                     "n_bytes": pa.array(nb, type=I64),
+                     "n_cols": pa.array(nc, type=I64)})
+
+
 def meta_tables(sf_dir: str):
     """Meta-table analog (§2.11, utils/meta_tables/): per-table row and
     column counts computed from the live catalog."""
@@ -546,6 +677,13 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "multi_pred_join": multi_pred_join,
     "theta_join_regions": theta_join_regions,
+    "sort_orders_nulls": sort_orders_nulls,
+    "right_join_customer_orders": right_join_customer_orders,
+    "full_outer_join_counts": full_outer_join_counts,
+    "exists_correlated": exists_correlated,
+    "not_exists_correlated": not_exists_correlated,
+    "range_join_events": range_join_events,
+    "meta_segments": meta_segments,
     "meta_tables": meta_tables,
     "multimodal_decode": multimodal_decode,
     "flagship_dedup": flagship_dedup,
@@ -650,6 +788,65 @@ ORACLE_SQL = {
     "theta_join_regions": """
         SELECT n_name, r_name FROM nation, region
         WHERE n_regionkey < r_regionkey
+    """,
+    "sort_orders_nulls": """
+        WITH p AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'O' THEN NULL
+                      ELSE o_totalprice END AS key
+          FROM orders)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY key DESC NULLS FIRST, o_orderkey ASC) AS BIGINT)
+                 AS rank,
+               o_orderkey, key
+        FROM p
+        ORDER BY rank
+        LIMIT 50
+    """,
+    "right_join_customer_orders": """
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_orders
+        FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "full_outer_join_counts": """
+        SELECT COUNT(*) AS n, COUNT(o_orderkey) AS n_orders,
+               COUNT(c_acctbal) AS n_cust
+        FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        FULL OUTER JOIN
+             (SELECT * FROM customer WHERE c_acctbal > 7500) c
+        ON o_custkey = c_custkey
+    """,
+    "exists_correlated": """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > c.c_acctbal * 100.0)
+    """,
+    "not_exists_correlated": """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > c.c_acctbal * 100.0)
+    """,
+    "range_join_events": """
+        SELECT a.event_id AS a_id, b.event_id AS b_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        FROM events a JOIN events b
+        ON b.event_id > a.event_id
+         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 5000000
+    """,
+    "meta_segments": """
+        SELECT table_name, row_group_id, n_rows, n_bytes, n_cols FROM (
+          SELECT regexp_extract(file_name, '([a-z]+)\\.parquet$', 1)
+                   AS table_name,
+                 CAST(row_group_id AS BIGINT) AS row_group_id,
+                 CAST(MAX(row_group_num_rows) AS BIGINT) AS n_rows,
+                 CAST(SUM(total_uncompressed_size) AS BIGINT) AS n_bytes,
+                 CAST(COUNT(*) AS BIGINT) AS n_cols
+          FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+          GROUP BY file_name, row_group_id)
     """,
     "meta_tables": """
         SELECT 'region' AS table_name, COUNT(*) AS n_rows, 2 AS n_cols FROM region

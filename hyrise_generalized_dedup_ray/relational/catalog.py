@@ -34,6 +34,58 @@ def load_table(
     return ray.data.read_parquet(path, columns=columns, filter=filter)
 
 
+_TBL_TYPES = {
+    "int": "int32", "long": "int64", "float": "float32",
+    "double": "float64", "string": "string",
+}
+
+
+def load_tbl(path: str) -> Dataset:
+    """Reference ``.tbl`` golden-file loader (load_table.cpp:20-47,
+    resources/test_data/tbl/*): line 1 = '|'-separated column names,
+    line 2 = types (``int long float double string``, optional
+    ``_null`` suffix ⇒ nullable, literal ``null`` ⇒ NULL), then
+    '|'-separated rows.  Unlocks running the reference's golden
+    fixtures directly against this engine."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    with open(path) as f:
+        names = f.readline().rstrip("\n").split("|")
+        raw_types = f.readline().rstrip("\n").split("|")
+    types, nullable = [], []
+    for t in raw_types:
+        base, _, suffix = t.partition("_")
+        types.append(_TBL_TYPES[base])
+        nullable.append(suffix == "null")
+    schema = {n: pa.type_for_alias(t) for n, t in zip(names, types)}
+    ds = ray.data.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(column_names=names, skip_rows=2),
+        parse_options=pacsv.ParseOptions(delimiter="|"),
+        convert_options=pacsv.ConvertOptions(
+            column_types=schema, null_values=["null"],
+            strings_can_be_null=True),
+    )
+    # the reference treats the literal "null" as NULL only in _null
+    # columns — restore it in non-nullable string columns
+    restore = [n for n, t, nl in zip(names, types, nullable)
+               if t == "string" and not nl]
+    if restore:
+        import pyarrow.compute as pc
+
+        def unnull(batch: pa.Table) -> pa.Table:
+            for n in restore:
+                i = batch.column_names.index(n)
+                batch = batch.set_column(
+                    i, n, pc.fill_null(batch.column(n), "null"))
+            return batch
+
+        ds = ds.map_batches(unnull, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ds
+
+
 def import_file(path: str, file_type: str = "auto", **kwargs) -> Dataset:
     """Import operator (import.hpp:21): load file → Dataset, format by
     extension like the reference's FileType::Auto (file_type.hpp:7).
@@ -46,6 +98,7 @@ def import_file(path: str, file_type: str = "auto", **kwargs) -> Dataset:
         "parquet": ray.data.read_parquet,
         "csv": ray.data.read_csv,
         "json": ray.data.read_json,
+        "tbl": lambda p, **kw: load_tbl(p),
     }
     if file_type not in readers:
         raise ValueError(f"unsupported import type: {file_type}")

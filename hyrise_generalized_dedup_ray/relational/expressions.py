@@ -101,10 +101,18 @@ def sub(a, b): return _Kernel(pc.subtract_checked, _wrap(a), _wrap(b))
 def mul(a, b): return _Kernel(pc.multiply_checked, _wrap(a), _wrap(b))
 def div(a, b): return _Kernel(pc.divide, _wrap(a), _wrap(b))
 def mod(a, b):
-    # SQL % on ints: pc has no modulo kernel → a - trunc(a/b)*b
+    # SQL % : pc has no modulo kernel → a - trunc(a/b)*b.  pc.divide
+    # truncates for ints but is exact for floats, so the quotient must
+    # be truncated explicitly before the multiply-back (otherwise the
+    # float path degenerates to a - (a/b)*b ≈ 0 for every operand).
     a, b = _wrap(a), _wrap(b)
     def _mod(x, y):
-        q = pc.cast(pc.divide(x, y), x.type if hasattr(x, "type") else None)
+        q = pc.divide(x, y)
+        qt = q.type if hasattr(q, "type") else pa.float64()
+        if pa.types.is_floating(qt):
+            q = pc.trunc(q)
+        else:
+            q = pc.cast(q, x.type if hasattr(x, "type") else qt)
         return pc.subtract(x, pc.multiply(q, y))
     return _Kernel(_mod, a, b)
 def neg(a): return _Kernel(pc.negate, _wrap(a))

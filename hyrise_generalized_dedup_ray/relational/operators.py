@@ -24,7 +24,9 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
-from hyrise_generalized_dedup_ray.relational.expressions import Expr, col
+from hyrise_generalized_dedup_ray.relational.expressions import (
+    Expr, between, col,
+)
 
 
 # --------------------------------------------------------------------------
@@ -94,11 +96,53 @@ def limit(ds: Dataset, n: int) -> Dataset:
 # sort / top-k (§2.7)
 # --------------------------------------------------------------------------
 
-def sort(ds: Dataset, keys: Sequence[str], descending: Sequence[bool] | bool = False) -> Dataset:
-    """Sort (sort.hpp:17-30).  Ray's sort is a range-partition shuffle
-    and is NOT stable — callers needing the reference's stability add a
-    tiebreak column (SURVEY.md §2.7)."""
-    return ds.sort(list(keys), descending=descending)
+def sort(
+    ds: Dataset, keys: Sequence[str],
+    descending: Sequence[bool] | bool = False,
+    nulls_first: bool = True,
+    tiebreak: Sequence[str] | str | None = None,
+) -> Dataset:
+    """Sort (sort.hpp:17-30) with reference parity: NULLS FIRST by
+    default for every key (types.hpp:219-221), any asc/desc mix.
+
+    Ray's range-partition sort places nulls per Arrow defaults and is
+    NOT stable; both gaps are closed here without extra shuffles:
+
+    - null placement: each key gets a prepended 0/1 valid-flag column
+      (computed per batch, dropped after the sort), so nulls order
+      BEFORE (or after) all values regardless of the key direction;
+    - determinism: the reference's stability guarantee (equal keys keep
+      input order, sort.cpp:379) has no distributed analog without a
+      global input index — callers pin a total order by passing
+      ``tiebreak`` columns, appended ascending after the keys.  This is
+      exactly how the reference's own tests make sorted output
+      comparable (SURVEY.md §2.7)."""
+    keys = list(keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    flag_names = [f"_nf_{k}" for k in keys]
+    sort_cols: list[str] = []
+    sort_desc: list[bool] = []
+    for k, fn_, d in zip(keys, flag_names, list(descending)):
+        sort_cols += [fn_, k]
+        # flag = 1 for valid: ascending flag ⇒ nulls (0) first
+        sort_desc += [not nulls_first, d]
+    if tiebreak:
+        tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+        sort_cols += tb
+        sort_desc += [False] * len(tb)
+
+    def add_flags(batch: pa.Table) -> pa.Table:
+        for k, fn_ in zip(keys, flag_names):
+            batch = batch.append_column(
+                fn_, pc.cast(pc.is_valid(batch.column(k)), pa.int8()))
+        return batch
+
+    out = ds.map_batches(add_flags, batch_format="pyarrow",
+                         zero_copy_batch=True).sort(sort_cols,
+                                                    descending=sort_desc)
+    return out.map_batches(lambda b: b.drop_columns(flag_names),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def top_k(ds: Dataset, key: str, k: int, descending: bool = True,
@@ -109,14 +153,17 @@ def top_k(ds: Dataset, key: str, k: int, descending: bool = True,
     into a near-map-only plan (the reference gets the same effect from
     Limit forwarding only referenced rows, limit.hpp:12)."""
     keys = [key] + ([tiebreak] if tiebreak else [])
-    order = [(c, "descending" if descending and c == key else "ascending") for c in keys]
+    # the local selection must ALSO rank by the tiebreak: ties on `key`
+    # straddling the local k-th boundary are otherwise dropped
+    # arbitrarily, making the result nondeterministic vs an
+    # ORDER BY key, tiebreak LIMIT k oracle
+    local_keys = [(c, "descending" if descending and c == key else "ascending")
+                  for c in keys]
 
     def local_topk(batch: pa.Table) -> pa.Table:
         if len(batch) <= k:
             return batch
-        idx = pc.select_k_unstable(
-            batch, k=k, sort_keys=[(key, "descending" if descending else "ascending")]
-        )
+        idx = pc.select_k_unstable(batch, k=k, sort_keys=local_keys)
         return batch.take(idx)
 
     reduced = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -158,6 +205,11 @@ def aggregate(
     deduplicates, a second counts — two shuffles but each fully
     pre-aggregated."""
     keys = list(keys)
+    has_distinct = any(fn == "count_distinct" for fn, _ in aggs.values())
+    if has_distinct and keys:
+        return _aggregate_with_distinct(ds, keys, aggs,
+                                        num_partitions or 16)
+
     plain, distincts = [], {}
     for name, (fn, on) in aggs.items():
         if fn == "count_distinct":
@@ -170,27 +222,152 @@ def aggregate(
             plain.append(_AGGS[fn](on=on, alias_name=name))
 
     gb = ds.groupby(keys or None)
-    result = gb.aggregate(*plain) if plain else None
-
+    if not distincts:
+        return gb.aggregate(*plain)
+    # global (no GROUP BY) with count_distinct: each piece reduces to a
+    # scalar — assemble the single output row on the driver
+    row: dict[str, Any] = dict(ds.aggregate(*plain)) if plain else {}
     for name, dcol in distincts.items():
-        # (keys, col) distinct pass, then count per keys
-        dd = (
-            ds.groupby(keys + [dcol]).aggregate(Count(alias_name="_one"))
-            .groupby(keys or None).aggregate(Count(alias_name=name))
-        )
-        if result is None:
-            result = dd
-        else:
-            # repartition heals the zero-column empty blocks Ray's
-            # hash aggregator emits for empty partitions, which
-            # otherwise break the downstream join's schema check
-            np_ = num_partitions or 8
-            result = result.repartition(np_).join(
-                dd.repartition(np_), join_type="inner", on=tuple(keys),
-                num_partitions=np_,
-            )
-    assert result is not None
-    return result
+        row[name] = distinct(ds, [dcol]).count()
+    return ray.data.from_arrow(pa.table(
+        {name: pa.array([row[name]]) for name in aggs}))
+
+
+def _aggregate_with_distinct(
+    ds: Dataset, keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]], num_partitions: int,
+) -> Dataset:
+    """GROUP BY with ≥1 COUNT(DISTINCT …): ONE hash shuffle on the key,
+    every aggregate computed vectorized inside the partition kernel.
+
+    Rationale: COUNT(DISTINCT) cannot be partially aggregated into a
+    scalar, so its distinct (key, value) pairs must cross the shuffle
+    regardless — an earlier revision paid two extra groupbys plus a
+    repartition+join PER distinct aggregate to merge them back
+    (visible as the slowest relational query in BENCH_r01).  Shuffling
+    the raw rows once and reducing per partition is within ~2× of the
+    theoretical floor whenever the distinct column is high-cardinality
+    (the common case — ids), and removes three all-to-all exchanges.
+    Std uses the two-pass mean/residual formula (numerically safer than
+    sum-of-squares; ddof=1 like the reference's Welford,
+    abstract_aggregate_operator.hpp:17-110)."""
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
+
+    keys = list(keys)
+    need_cols = list(dict.fromkeys(
+        keys + [on for _, on in aggs.values() if on]))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        # hash the key VALUES null-safely (dictionary codes are
+        # block-local and do NOT agree across blocks / workers)
+        from hyrise_generalized_dedup_ray.functions.hashing import \
+            hash_strings
+        kh = _key_hash(batch, keys)
+        if isinstance(kh, pa.ChunkedArray):
+            kh = kh.combine_chunks()
+        hv = hash_strings(kh.to_numpy(zero_copy_only=False))
+        pk = partition_ids(hv, num_partitions)
+        return batch.select(need_cols).append_column(
+            "_pkey", pa.array(pk, type=pa.int64()))
+
+    def agg_partition(part: pa.Table) -> pa.Table:
+        n = len(part)
+        if n == 0:
+            return pa.table({})
+        # group identity inside the partition via per-partition
+        # dictionary codes (consistent within one table)
+        codes = []
+        for k in keys:
+            col_ = part.column(k)
+            if isinstance(col_, pa.ChunkedArray):
+                col_ = col_.combine_chunks()
+            enc = col_.dictionary_encode()
+            ind = enc.indices.to_numpy(zero_copy_only=False)
+            ind = np.where(np.isnan(ind) if ind.dtype.kind == "f" else ind < 0,
+                           -1, ind).astype(np.int64)
+            codes.append(ind)
+        order, starts, ends = sort_groups(tuple(codes))
+        sizes = ends - starts
+        first = order[starts]
+        out: dict[str, pa.Array] = {
+            k: part.column(k).take(pa.array(first)) for k in keys}
+        for name, (fn, on) in aggs.items():
+            if fn == "count_star":
+                out[name] = pa.array(sizes, type=pa.int64())
+                continue
+            col_ = part.column(on)
+            if isinstance(col_, pa.ChunkedArray):
+                col_ = col_.combine_chunks()
+            valid = pc.is_valid(col_).to_numpy(zero_copy_only=False)
+            vals = col_.to_numpy(zero_copy_only=False)
+            vals_o = vals[order]
+            valid_o = valid[order].astype(np.int64)
+            cnt = np.add.reduceat(valid_o, starts)
+            if fn == "count":
+                out[name] = pa.array(cnt, type=pa.int64())
+            elif fn == "count_distinct":
+                dcodes = pc.dictionary_encode(col_).indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                # distinct per group: sort (group, value-code), count
+                # boundaries; nulls (code kept distinct then excluded)
+                o2, s2, e2 = sort_groups(tuple(codes) + (dcodes,))
+                uniq_rows = np.zeros(n, dtype=np.int64)
+                uniq_rows[s2] = 1
+                # map each unique (group, value) row to its group slot:
+                # prefix-count of group starts
+                gslot = np.zeros(n, dtype=np.int64)
+                gstarts2 = np.zeros(n, dtype=bool)
+                # recompute group boundaries under o2's ordering: same
+                # groups, same sizes (codes sorted identically first)
+                gb_change = np.zeros(n, dtype=bool)
+                gb_change[0] = True
+                for c in codes:
+                    cs = c[o2]
+                    gb_change[1:] |= cs[1:] != cs[:-1]
+                gidx = np.cumsum(gb_change) - 1
+                dv = valid[o2].astype(np.int64) * uniq_rows
+                nd = np.bincount(gidx, weights=dv,
+                                 minlength=len(starts)).astype(np.int64)
+                out[name] = pa.array(nd, type=pa.int64())
+            else:
+                fv = np.where(valid_o, vals_o.astype(np.float64), 0.0)
+                s = np.add.reduceat(fv, starts)
+                if fn == "sum":
+                    out[name] = pa.array(s, type=pa.float64())
+                elif fn in ("avg", "mean"):
+                    out[name] = pa.array(s / np.maximum(cnt, 1),
+                                         type=pa.float64())
+                elif fn == "min":
+                    mv = np.where(valid_o, vals_o.astype(np.float64), np.inf)
+                    out[name] = pa.array(np.minimum.reduceat(mv, starts),
+                                         type=pa.float64())
+                elif fn == "max":
+                    mv = np.where(valid_o, vals_o.astype(np.float64), -np.inf)
+                    out[name] = pa.array(np.maximum.reduceat(mv, starts),
+                                         type=pa.float64())
+                elif fn == "std":
+                    mean = s / np.maximum(cnt, 1)
+                    resid = np.where(
+                        valid_o,
+                        (vals_o.astype(np.float64)
+                         - np.repeat(mean, sizes)) ** 2, 0.0)
+                    ss = np.add.reduceat(resid, starts)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        out[name] = pa.array(
+                            np.sqrt(ss / np.maximum(cnt - 1, 1)),
+                            type=pa.float64())
+                else:
+                    raise ValueError(f"unknown aggregate {fn}")
+        cols = {k: out[k] for k in keys}
+        cols.update({name: out[name] for name in aggs})
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(agg_partition, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -225,34 +402,106 @@ def _key_hash(batch: pa.Table, on: Sequence[str]) -> pa.Array:
     return pc.binary_join_element_wise(*parts, "\x1f")
 
 
+def _valid_keys_mask(batch: pa.Table, on: Sequence[str]):
+    """AND of is_valid over the key columns (nulls never join)."""
+    mask = None
+    for c in on:
+        v = pc.is_valid(batch.column(c))
+        mask = v if mask is None else pc.and_(mask, v)
+    return mask
+
+
 class _BroadcastJoiner:
     """Actor-pool UDF: small side fetched from the object store ONCE per
     actor in ``__init__`` (SURVEY.md §2.4 build-once state pattern), then
-    probed per batch — never re-shipped per block."""
+    probed per batch — never re-shipped per block.
+
+    All modes are Arrow-native (no pandas round-trip): the build step
+    sorts the small side by key hash and records run boundaries per
+    distinct key; the probe maps each batch key with ``pc.index_in``
+    and expands matches with vectorized repeat/arange takes — the
+    classic hash-join build/probe recast on Arrow kernels
+    (join_hash.hpp:20-46).
+
+    NULL semantics match the reference (and SQL equality): a NULL key
+    never matches anything — semi drops null-keyed probe rows, anti
+    keeps them (AntiNullAsFalse), inner drops them, left emits them
+    null-padded."""
 
     def __init__(self, small_ref, on, right_on, how):
         small: pa.Table = ray.get(small_ref)
         self.on, self.how = list(on), how
         self.right_on = list(right_on or on)
+        # nulls never match: drop null-keyed build rows up front
+        small = small.filter(_valid_keys_mask(small, self.right_on))
+        kh = _key_hash(small, self.right_on)
+        if isinstance(kh, pa.ChunkedArray):
+            kh = kh.combine_chunks()
         if how in ("semi", "anti"):
-            kh = _key_hash(small, self.right_on)
-            if isinstance(kh, pa.ChunkedArray):
-                kh = kh.combine_chunks()
             self.keyset = pc.unique(kh)
+            return
+        # inner/left build: sort by key, run-length boundaries per key
+        khn = kh.to_numpy(zero_copy_only=False)
+        order = np.argsort(khn, kind="stable")
+        self.small = small.take(pa.array(order)).combine_chunks()
+        khs = khn[order]
+        if len(khs):
+            change = np.flatnonzero(khs[1:] != khs[:-1]) + 1
+            self.starts = np.concatenate([[0], change])
+            self.ends = np.concatenate([change, [len(khs)]])
+            self.uniq = pa.array(khs[self.starts])
         else:
-            self.small_pd = small.to_pandas()
+            self.starts = self.ends = np.empty(0, dtype=np.int64)
+            self.uniq = pa.array([], type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kh = _key_hash(batch, self.on)
+        valid = _valid_keys_mask(batch, self.on)
         if self.how in ("semi", "anti"):
-            mask = pc.is_in(_key_hash(batch, self.on), value_set=self.keyset)
+            mask = pc.and_(pc.is_in(kh, value_set=self.keyset), valid)
             if self.how == "anti":
                 mask = pc.invert(mask)
             return batch.filter(mask)
-        left_pd = batch.to_pandas()
-        merged = left_pd.merge(
-            self.small_pd, how=self.how, left_on=self.on, right_on=self.right_on,
-        )
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        idx = pc.index_in(kh, value_set=self.uniq)
+        idx = pc.if_else(valid, idx, pa.scalar(None, type=idx.type))
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        matched = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        idxn = idx.to_numpy(zero_copy_only=False)  # float (NaN) or int
+        mi = idxn[matched].astype(np.int64)
+        counts = self.ends[mi] - self.starts[mi]
+        # fan out: left row j (matched) repeats counts[j] times; right
+        # rows are the contiguous runs [starts[mi], ends[mi])
+        left_rows = np.flatnonzero(matched)
+        left_take = np.repeat(left_rows, counts)
+        total = int(counts.sum())
+        run_starts = np.repeat(self.starts[mi], counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else
+            np.empty(0, dtype=np.int64), counts)
+        right_take: np.ndarray = run_starts + offs
+        right_names = [c for c in self.small.column_names
+                       if c not in batch.column_names]
+        if self.how == "left":
+            unmatched = np.flatnonzero(~matched)
+            left_take = np.concatenate([left_take, unmatched])
+            right_idx = pa.array(
+                np.concatenate([right_take,
+                                np.zeros(len(unmatched), dtype=np.int64)]),
+                mask=np.concatenate([np.zeros(total, dtype=bool),
+                                     np.ones(len(unmatched), dtype=bool)]))
+        else:
+            right_idx = pa.array(right_take)
+        out = batch.take(pa.array(left_take))
+        for name in right_names:
+            out = out.append_column(name, self.small.column(name).take(right_idx))
+        return out
+
+
+_BROADCAST_HOW = {
+    "inner": "inner", "left": "left", "left_outer": "left",
+    "semi": "semi", "anti": "anti",
+}
 
 
 def broadcast_join(
@@ -262,7 +511,18 @@ def broadcast_join(
 ) -> Dataset:
     """Broadcast-small-side join: no shuffle of the big side at all.
     ``small`` must fit in one worker's heap (dimension tables, reduced
-    aggregates, candidate sets)."""
+    aggregates, candidate sets).
+
+    ``how`` ∈ {inner, left / left_outer, semi, anti} — Ray-style
+    ``left_outer`` is accepted and normalized.  right/full outer are
+    NOT expressible per-batch against a broadcast side (which build
+    rows matched *nothing anywhere* is global state) — use
+    :func:`hash_join` for those."""
+    if how not in _BROADCAST_HOW:
+        raise ValueError(
+            f"broadcast_join how={how!r} unsupported; one of "
+            f"{sorted(_BROADCAST_HOW)} (right/full outer need hash_join)")
+    how = _BROADCAST_HOW[how]
     if isinstance(small, Dataset):
         refs = small.to_arrow_refs()
         small = pa.concat_tables(
@@ -302,6 +562,81 @@ def multi_predicate_join(
     return table_scan(joined, residual)
 
 
+def band_join(
+    left: Dataset, right: Dataset, left_on: str, right_on: str,
+    lo: int, hi: int, num_partitions: int = 32,
+) -> Dataset:
+    """Non-equi range join over TWO LARGE sides:
+    ``right.right_on - left.left_on ∈ [lo, hi]`` (keys int64; cast
+    timestamps to epoch first).  The reference covers this case with
+    JoinSortMerge (join_sort_merge.hpp:15-25, its only operator for
+    band predicates when neither side fits memory).
+
+    Ray-Data recast: *range bucketing* instead of a global sort —
+    bucket width ``W = hi - lo`` means each left row's admissible right
+    interval spans at most TWO buckets, so the left side is exploded
+    ≤2× with a bucket id, the right side gets its single bucket id, and
+    ONE equi hash-join on the bucket co-locates every admissible pair;
+    a residual scan applies the exact band predicate.  Same data
+    movement as a sort-merge partition pass, but no boundary sampling
+    and no skew-sensitive global sort; per-bucket fan-out is bounded by
+    the key density within one band width (pick the band accordingly).
+    Column names of the two sides must be disjoint (project/rename
+    first), like the reference requires distinct output columns."""
+    width = max(int(hi) - int(lo), 1)
+
+    def explode_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(left_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = np.floor_divide(k + lo, width)
+        b1 = np.floor_divide(k + hi, width)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(k)), reps)
+        total = int(reps.sum())
+        excl = np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else \
+            np.empty(0, dtype=np.int64)
+        off = np.arange(total) - np.repeat(excl, reps)
+        bucket = b0[idx] + off
+        return batch.take(pa.array(idx)).append_column(
+            "_band_bucket", pa.array(bucket, type=pa.int64()))
+
+    def bucket_right(batch: pa.Table) -> pa.Table:
+        k = batch.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_band_bucket", pa.array(np.floor_divide(k, width), type=pa.int64()))
+
+    le = left.map_batches(explode_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    re_ = right.map_batches(bucket_right, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = le.join(re_, join_type="inner", num_partitions=num_partitions,
+                on=("_band_bucket",))
+    band = table_scan(
+        j, between(col(right_on) - col(left_on), int(lo), int(hi)))
+    return band.drop_columns(["_band_bucket"])
+
+
+def exists_join(
+    left: Dataset, right: Dataset | pa.Table, on: Sequence[str],
+    right_on: Sequence[str] | None = None, residual: Expr | None = None,
+    negate: bool = False, num_partitions: int = 32,
+) -> Dataset:
+    """(NOT) EXISTS with a correlated subquery, rewritten to joins —
+    the reference's SubqueryToJoinRule (subquery_to_join_rule.cpp,
+    exists_expression.hpp:7-12): the equality correlation becomes a
+    semi/anti join key; any residual correlated predicate (non-equi
+    terms referencing both sides) is evaluated on an inner-join probe
+    first, and the distinct matching key set drives the final
+    semi/anti join, so left rows are never duplicated or dropped by
+    fan-out."""
+    if residual is None:
+        fn = anti_join if negate else semi_join
+        return fn(left, right, on, right_on)
+    j = hash_join(left, right, on, right_on, "inner", num_partitions)
+    matched = distinct(table_scan(j, residual), list(on))
+    fn = anti_join if negate else semi_join
+    return fn(left, matched, on)
+
+
 def theta_join(left: Dataset, small: pa.Table, predicate) -> Dataset:
     """Non-equi (theta) join against a broadcast small side — the
     JoinNestedLoop fallback (join_nested_loop.hpp:18): cross product
@@ -332,6 +667,20 @@ def product(left: Dataset, right: pa.Table) -> Dataset:
 
     return left.map_batches(_Cross, batch_format="pyarrow",
                             zero_copy_batch=True, concurrency=(1, 4))
+
+
+def print_table(ds: Dataset, n: int = 20) -> str:
+    """Print operator (print.hpp:22): human-readable preview of the
+    first ``n`` rows with the schema header, as a string (the reference
+    streams to an ostream; callers print the return value)."""
+    schema = ds.schema()
+    header = " | ".join(f"{name}:{dtype}" for name, dtype
+                        in zip(schema.names, schema.types))
+    rows = ds.limit(n).take_all()
+    lines = [header, "-" * len(header)]
+    for r in rows:
+        lines.append(" | ".join(str(r[c]) for c in schema.names))
+    return "\n".join(lines)
 
 
 # --------------------------------------------------------------------------

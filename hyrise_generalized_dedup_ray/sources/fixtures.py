@@ -243,13 +243,16 @@ def pages_parquet_dir(n_docs: int, seed: int = 42, root: str = "/tmp/hgd_fixture
     an existing directory is always valid.  Files: ``pages.parquet``,
     ``pages_truth.parquet``.
     """
-    out = os.path.join(root, f"pages_n{n_docs}_s{seed}")
+    out = os.path.join(root, f"pages_n{n_docs}_s{seed}_rg256")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
         pages, truth = generate_pages(n_docs, seed)
+        # many small row groups: row-group count bounds the read-side
+        # task parallelism of a single file (a 1-row-group file forces
+        # a serial read no matter the cluster size)
         pq.write_table(pages, os.path.join(out, "pages.parquet"),
-                       row_group_size=max(1024, n_docs // 32))
+                       row_group_size=max(512, n_docs // 256))
         pq.write_table(truth, os.path.join(out, "pages_truth.parquet"))
         with open(done, "w") as f:
             f.write("ok")

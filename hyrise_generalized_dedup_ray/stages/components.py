@@ -31,7 +31,6 @@ from ray.data.aggregate import Sum
 
 from hyrise_generalized_dedup_ray.config import EngineConfig
 from hyrise_generalized_dedup_ray.functions.hashing import mix2
-from hyrise_generalized_dedup_ray.functions.pairs import UnionFind
 
 
 def _both_orientations(batch: pa.Table, num_partitions: int = 32) -> pa.Table:
@@ -221,19 +220,42 @@ def connected_components(
         return labels_from_star_edges(star), metrics
 
     metrics["cc_mode"] = "driver_union_find"
-    uf = UnionFind()
-    nodes: set[int] = set()
+    parts_a, parts_b = [], []
     for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        for x, y in zip(a, b):
-            uf.union(int(x), int(y))
-        nodes.update(int(x) for x in a)
-        nodes.update(int(y) for y in b)
-    labels = uf.labels(nodes)
-    items = sorted(labels.items())
+        parts_a.append(batch.column("a").to_numpy(zero_copy_only=False))
+        parts_b.append(batch.column("b").to_numpy(zero_copy_only=False))
+    a = np.concatenate(parts_a) if parts_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(parts_b) if parts_b else np.empty(0, dtype=np.int64)
+    nodes, labels = _vector_components(a, b)
     tbl = pa.table({
-        "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
-        "cluster": pa.array([v for _, v in items], type=pa.int64()),
+        "doc_id": pa.array(nodes, type=pa.int64()),
+        "cluster": pa.array(labels, type=pa.int64()),
     })
     return ray.data.from_arrow(tbl), metrics
+
+
+def _vector_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Min-label connected components over an in-memory edge list,
+    fully vectorized (no per-edge Python loop): alternate edge-wise
+    min-label hooking (``np.minimum.at``) with pointer-jumping
+    compression until fixpoint — Shiloach-Vishkin-style, O(E) vector
+    work per round, O(log n) rounds.  Produces the identical labeling
+    as sequential union-find with min-id roots (functions.pairs
+    UnionFind, which remains the oracle's reference implementation)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        m = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return nodes, nodes[label]

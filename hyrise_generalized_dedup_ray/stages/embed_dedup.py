@@ -46,19 +46,47 @@ class _PairScorer:
         })
 
 
+@ray.remote
+def _build_corpus(refs: list, col: str) -> dict:
+    """Concat + normalize the corpus INSIDE a task — the driver never
+    holds the matrix; downstream actors read the returned object-store
+    entry directly (one copy in shared memory per node)."""
+    tables = [t for t in ray.get(list(refs)) if t.num_columns > 0]
+    full = pa.concat_tables(tables)
+    ids, mat = _embedding_matrix(full, col)
+    return {"ids": ids, "mat": _normalize(mat)}
+
+
 def embedding_near_dup_pairs(
     embeddings: Dataset,
     tau: float = 0.95,
     col: str = "embedding",
     concurrency: tuple[int, int] = (1, 8),
+    max_broadcast_bytes: int = 2 << 30,
 ) -> Dataset:
-    """Exact all-pairs cosine ≥ τ; returns (a, b, sim) with a < b."""
-    refs = embeddings.select_columns(["vec_id", col]).to_arrow_refs()
-    tables = [ray.get(r) for r in refs]
-    tables = [t for t in tables if t.num_columns > 0]
-    full = pa.concat_tables(tables)
-    ids, mat = _embedding_matrix(full, col)
-    corpus_ref = ray.put({"ids": ids, "mat": _normalize(mat)})
+    """Exact all-pairs cosine ≥ τ; returns (a, b, sim) with a < b.
+
+    The corpus matrix is broadcast (built off-driver, one object-store
+    copy) and each batch scores its slice — O(n²/B) per block, zero
+    shuffle.  GUARDED: when the matrix would exceed
+    ``max_broadcast_bytes``, this op no longer fits one worker heap by
+    construction and the call falls back to the bucketed LSH variant
+    (logged — approximate per its documented S-curve recall; call
+    :func:`embedding_near_dup_pairs_lsh` directly to choose its knobs)."""
+    mat_ds = embeddings.select_columns(["vec_id", col])
+    n = mat_ds.count()
+    dim = len(embeddings.take(1)[0][col])
+    if n * dim * 8 > max_broadcast_bytes:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup_pairs: corpus %d×%d exceeds the %d-byte "
+            "broadcast guard — falling back to the LSH-bucketed variant "
+            "(approximate, recall per its S-curve)", n, dim,
+            max_broadcast_bytes)
+        return embedding_near_dup_pairs_lsh(embeddings, tau=tau, col=col)
+    refs = mat_ds.to_arrow_refs()
+    corpus_ref = _build_corpus.remote(refs, col)
     return embeddings.map_batches(
         _PairScorer, fn_constructor_args=(corpus_ref, tau, col),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -82,7 +82,10 @@ class SignerActor:
             "text_hash": pa.array(text_hash.view(np.int64), type=pa.int64()),
         }
         if self.with_fingerprints:
-            fps = [winnow_fingerprints(t) for t in texts]
+            from hyrise_generalized_dedup_ray.functions.substr import \
+                batch_winnow_fingerprints
+
+            fps = batch_winnow_fingerprints(texts)
             offs = np.zeros(len(fps) + 1, dtype=np.int32)
             np.cumsum([len(f) for f in fps], out=offs[1:])
             flat_fp = (np.concatenate(fps) if fps else np.empty(0, np.uint64))

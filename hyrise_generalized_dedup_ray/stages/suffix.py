@@ -169,6 +169,10 @@ def substring_edges(
 
     # groups come out of two groupbys → heal zero-column empty blocks
     # before the join (util.heal_blocks)
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
+    from hyrise_generalized_dedup_ray.functions.hashing import mix2
+
     groups = heal_blocks(fingerprint_groups(signatures, num_partitions),
                          max(2, num_partitions // 4))
     docs = signatures.select_columns(["doc_id", "text"])
@@ -178,23 +182,47 @@ def substring_edges(
     )
     min_len = cfg.min_substring_bytes
 
-    def suffix_pass(group: pa.Table) -> pa.Table:
-        """One pre-assigned ≤SUBSTR_MAX_GROUP-doc chunk per group."""
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        texts = group.column("text").take(pa.array(order)).to_pylist()
-        chunk_texts = [t.encode("utf-8") for t in texts]
-        a: list[int] = []
-        b: list[int] = []
-        for ia, ib in cross_doc_repeats(chunk_texts, min_len):
-            x, y = int(ids[ia]), int(ids[ib])
-            a.append(min(x, y))
-            b.append(max(x, y))
+    def add_group_pkey(batch: pa.Table) -> pa.Table:
+        """Hash-partition on (docset, chunk) — the sort-based
+        groupby alternative would range-sample and sort the text-heavy
+        rows themselves; hashing moves each row exactly once with no
+        boundary sampling on a string-payload dataset."""
+        dsk = batch.column("docset").to_numpy(zero_copy_only=False)
+        ck = batch.column("chunk").to_numpy(zero_copy_only=False)
+        pk = partition_ids(
+            mix2(dsk.view(np.uint64), ck.view(np.uint64)), num_partitions)
+        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
+
+    def suffix_partition(part: pa.Table) -> pa.Table:
+        """All (docset, chunk) suffix-array groups of one hash
+        partition; each group is a pre-assigned ≤SUBSTR_MAX_GROUP-doc
+        chunk (fingerprint_groups)."""
+        dsk = part.column("docset").to_numpy(zero_copy_only=False)
+        ck = part.column("chunk").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order, starts, ends = sort_groups((dsk, ck), order_by=(ids,))
+        ids_sorted = ids[order]
+        texts = part.column("text").take(pa.array(order))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gids = ids_sorted[s:e]
+            chunk_texts = [texts[j].as_py().encode("utf-8")
+                           for j in range(s, e)]
+            for ia, ib in cross_doc_repeats(chunk_texts, min_len):
+                x, y = int(gids[ia]), int(gids[ib])
+                a_out.append(min(x, y))
+                b_out.append(max(x, y))
         return pa.table({
-            "a": pa.array(a, type=pa.int64()),
-            "b": pa.array(b, type=pa.int64()),
+            "a": pa.array(a_out, type=pa.int64()),
+            "b": pa.array(b_out, type=pa.int64()),
         })
 
-    return with_text.groupby(["docset", "chunk"]).map_groups(
-        suffix_pass, batch_format="pyarrow")
+    return (
+        with_text.map_batches(add_group_pkey, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(suffix_partition, batch_format="pyarrow")
+    )

@@ -32,16 +32,19 @@ def attach_texts(
 ) -> Dataset:
     """(a,b) ⋈ docs(doc_id,text) twice → (a, b, text_a, text_b).
 
-    Join fan-out is deliberately SMALL (≤12): each Dataset.join spawns
-    one aggregator actor per partition, and measured wall time at this
-    payload (≈GBs of text) is dominated by actor spawn + per-partition
-    constants, not by partition width — 8 partitions verified 5× faster
-    than 32 on the same input.  (A join-free melt→attach→pivot variant
-    was tried and is slower still: Ray's sort-based groupby handles
-    large string payloads worse than the hash-shuffle join.)"""
+    Join fan-out scales with the session's CPU count (callers pass a
+    cluster-derived ``num_partitions``); the floor of 4 only guards
+    degenerate tiny sessions.  Each Dataset.join spawns one aggregator
+    actor per partition — a fixed per-partition spawn cost that is paid
+    once and amortized over the text payload, so width must follow the
+    cluster (a hard cap here would freeze the pipeline's widest data
+    movement at one node's worth of parallelism forever).  (A join-free
+    melt→attach→pivot variant was tried and is slower: Ray's sort-based
+    groupby handles large string payloads worse than the hash-shuffle
+    join.)"""
     from hyrise_generalized_dedup_ray.util import heal_blocks
 
-    num_partitions = max(4, min(12, num_partitions))
+    num_partitions = max(4, num_partitions)
 
     # pairs come out of a groupby → may carry zero-column empty blocks
     # that break the join's schema resolution (util.heal_blocks)
@@ -123,14 +126,13 @@ class JaccardVerifier:
 def verify_pairs(
     pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
     batch_size: int = 2048, num_partitions: int = 32,
-    concurrency: int = 8,
 ) -> Dataset:
     """Candidate pairs → verified near-duplicate edges (a,b).
 
     The verifier runs as plain tasks (warm-worker reuse, elastic
-    parallelism) — its only state is the config; see the process-cache
-    note in stages/signatures.py for when an actor pool is the right
-    shape instead."""
+    parallelism — deliberately NO concurrency cap, so the stage widens
+    with the cluster); see the process-cache note in
+    stages/signatures.py for when an actor pool is the right shape."""
 
     with_texts = attach_texts(pairs, docs, num_partitions)
 

@@ -60,7 +60,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the driver's gate runs at sf0.01, so path-dependent oracles
+    # (meta_segments' parquet_metadata) hardcode that dir; retarget
+    # them when this tool runs at another scale
+    oracles = {name: sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+               for name, sql in entrymod.oracle_sql().items()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
