@@ -72,16 +72,18 @@ def simhash_signatures(
     counts = np.diff(offsets)
     nonempty = counts > 0
     starts = offsets[:-1][nonempty]
-    # (nshingles, 64) bit matrix in int16 chunks would be 128B/shingle;
-    # process 16 bits at a time to bound memory.
+    # one 1-D pass per bit (shift+mask+segmented sum) — identical
+    # results to a (nshingles, bits) matrix but ~bits× less transient
+    # allocation, which matters because this kernel runs on every
+    # signing batch
     fingerprint = np.zeros(ndocs, dtype=np.uint64)
-    half = counts[nonempty][:, None] / 2.0
-    for lo in range(0, 64, 16):
-        bits = ((remixed[:, None] >> np.arange(lo, lo + 16, dtype=np.uint64)) & _U64(1)).astype(np.int32)
-        sums = np.add.reduceat(bits, starts, axis=0)
-        ones = sums > half  # (n_nonempty, 16) majority vote per bit
-        weights = (_U64(1) << np.arange(lo, lo + 16, dtype=np.uint64))
-        fingerprint[nonempty] |= (ones * weights).sum(axis=1, dtype=np.uint64)
+    half = counts[nonempty].astype(np.float64) / 2.0
+    fp_ne = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for j in range(64):
+        bit = ((remixed >> _U64(j)) & _U64(1)).view(np.int64)
+        sums = np.add.reduceat(bit, starts)
+        fp_ne |= (sums > half).astype(np.uint64) << _U64(j)
+    fingerprint[nonempty] = fp_ne
     out[:] = fingerprint
     return out
 

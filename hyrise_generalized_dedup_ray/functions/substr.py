@@ -185,28 +185,60 @@ def adjacent_lcp(sa: np.ndarray, tables: list[np.ndarray], n: int) -> np.ndarray
     return lcp
 
 
-def _two_doc_has_repeat(t1: bytes, t2: bytes, min_len: int) -> bool | None:
-    """Exact ≥min_len shared-run predicate for TWO documents without a
-    suffix array: the docs share a run of length ≥ L iff they share an
+# groups within BOTH bounds use pairwise L-gram intersection instead of
+# a suffix array.  SHARED SEMANTIC CONSTANTS (oracle runs the same
+# kernel): inside the bounds the edge set is ALL qualifying pairs;
+# outside, the suffix array emits adjacent-in-SA pairs (a
+# connectivity-equivalent subset).  The byte budget keeps the pairwise
+# path's g × total_bytes work under the suffix array's
+# total_bytes × log² crossover: at ≤64 docs × ≤512 KiB the pairwise
+# form measured ~10× faster (it never re-sorts the shared boilerplate
+# template g times the way prefix doubling effectively does).
+PAIRWISE_MAX_GROUP = 64
+PAIRWISE_MAX_BYTES = 512 * 1024
+
+
+def _small_group_repeats(
+    texts: list[bytes], min_len: int
+) -> list[tuple[int, int]] | None:
+    """Exact ≥min_len shared-run pairs for a SMALL group without a
+    suffix array: two docs share a run of length ≥ L iff they share an
     L-gram, tested by intersecting rolling-hash sets and byte-verifying
-    one witness.  Returns None when every common hash fails
-    byte-verification (a 64-bit collision) — the caller falls back to
-    the suffix array for an exact answer.  This is the hot path: most
-    fingerprint docsets contain exactly two documents, and the full
-    prefix-doubling suffix array paid ~50× more per group."""
-    if len(t1) < min_len or len(t2) < min_len:
-        return False
-    h1 = gram_hashes(t1, min_len)
-    h2 = gram_hashes(t2, min_len)
-    u1, i1 = np.unique(h1, return_index=True)
-    u2, i2 = np.unique(h2, return_index=True)
-    common, c1, c2 = np.intersect1d(u1, u2, return_indices=True)
-    if len(common) == 0:
-        return False
-    for p1, p2 in zip(i1[c1], i2[c2]):
-        if t1[p1:p1 + min_len] == t2[p2:p2 + min_len]:
-            return True
-    return None  # only hash collisions — ambiguous, use the suffix array
+    one witness per pair.  Returns None when some pair's common hashes
+    all fail byte-verification (a 64-bit collision) — the caller falls
+    back to the suffix array for an exact answer.  This is the hot
+    path: fingerprint docsets are overwhelmingly 2-10 documents, and
+    the full prefix-doubling suffix array paid ~10-50× more per group."""
+    uniqs: list[np.ndarray | None] = []
+    firsts: list[np.ndarray | None] = []
+    for t in texts:
+        if len(t) < min_len:
+            uniqs.append(None)
+            firsts.append(None)
+            continue
+        u, i = np.unique(gram_hashes(t, min_len), return_index=True)
+        uniqs.append(u)
+        firsts.append(i)
+    pairs: list[tuple[int, int]] = []
+    for i in range(len(texts)):
+        if uniqs[i] is None:
+            continue
+        for j in range(i + 1, len(texts)):
+            if uniqs[j] is None:
+                continue
+            common, ci, cj = np.intersect1d(
+                uniqs[i], uniqs[j], return_indices=True)
+            if len(common) == 0:
+                continue
+            ti, tj = texts[i], texts[j]
+            fi, fj = firsts[i], firsts[j]
+            for p1, p2 in zip(fi[ci], fj[cj]):
+                if ti[p1:p1 + min_len] == tj[p2:p2 + min_len]:
+                    pairs.append((i, j))
+                    break
+            else:
+                return None  # collisions only — ambiguous
+    return pairs
 
 
 def cross_doc_repeats(
@@ -224,12 +256,17 @@ def cross_doc_repeats(
     """
     if len(texts) < 2:
         return []
-    if len(texts) == 2:
-        # provably the same answer as the suffix array for a pair:
-        # adjacent cross-doc LCP ≥ L exists ⟺ a shared L-gram exists
-        fast = _two_doc_has_repeat(texts[0], texts[1], min_len)
+    if (len(texts) <= PAIRWISE_MAX_GROUP
+            and sum(len(t) for t in texts) <= PAIRWISE_MAX_BYTES):
+        # small groups: pairwise L-gram intersection.  For 2 docs this
+        # is provably the suffix array's answer (adjacent cross-doc
+        # LCP ≥ L ⟺ shared L-gram); for larger groups it emits ALL
+        # qualifying pairs — a superset of the SA's adjacent pairs
+        # with identical transitive connectivity, and identical in
+        # both engines because the oracle runs this same kernel.
+        fast = _small_group_repeats(texts, min_len)
         if fast is not None:
-            return [(0, 1)] if fast else []
+            return fast
     parts = []
     doc_of = []
     for d, t in enumerate(texts):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -130,6 +131,63 @@ def _edge_branches(
     return exact.union(near).union(substr)
 
 
+# labels tables up to this many rows (≈16 B/row of index state) are
+# broadcast; larger ones take the left-outer hash join — the same
+# size-guarded strategy selection as stages/verify.attach_texts.
+BROADCAST_LABELS_MAX = 5_000_000
+
+
+def _attach_labels(universe: Dataset, labels: Dataset,
+                   join_partitions: int) -> Dataset:
+    """(url, doc_id) × (doc_id, cluster) → (url, doc_id, cluster) with
+    cluster = own doc_id when unlabeled (non-duplicates)."""
+    from hyrise_generalized_dedup_ray.util import heal_blocks
+
+    # pin: count + the chosen strategy both consume `labels`
+    labels = labels.materialize()
+    if labels.count() <= BROADCAST_LABELS_MAX:
+        tables = [t for t in ray.get(labels.to_arrow_refs())
+                  if t.num_columns > 0]
+        lt = pa.concat_tables(tables) if tables else pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "cluster": pa.array([], type=pa.int64())})
+        ids = lt.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = lt.column("cluster").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put({"ids": ids[order], "cl": cl[order]})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            st = ray.get(ref)
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(st["ids"]):
+                pos = np.searchsorted(st["ids"], d)
+                pos_c = np.minimum(pos, len(st["ids"]) - 1)
+                found = st["ids"][pos_c] == d
+                cluster = np.where(found, st["cl"][pos_c], d)
+            else:
+                cluster = d
+            return batch.append_column(
+                "cluster", pa.array(cluster, type=pa.int64()))
+
+        return universe.map_batches(attach, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    joined = universe.join(
+        heal_blocks(labels, max(2, join_partitions // 4)),
+        join_type="left_outer", num_partitions=join_partitions,
+        on=("doc_id",),
+    )
+
+    def fill_own(batch: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(batch.column("cluster"), batch.column("doc_id"))
+        return batch.set_column(
+            batch.column_names.index("cluster"), "cluster", cluster
+        )
+
+    return joined.map_batches(fill_own, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def dedup_pages(
     pages: Dataset,
     cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
@@ -184,24 +242,8 @@ def dedup_pages(
     metrics.update(cc_metrics)
 
     # every page gets a label; non-duplicates label themselves
-    from hyrise_generalized_dedup_ray.util import heal_blocks
-
     universe = signatures.select_columns(["url", "doc_id"])
-    joined = universe.join(
-        heal_blocks(labels, max(2, join_partitions // 4)),
-        join_type="left_outer", num_partitions=join_partitions,
-        on=("doc_id",),
-    )
-
-    def fill_own(batch: pa.Table) -> pa.Table:
-        cluster = pc.coalesce(batch.column("cluster"), batch.column("doc_id"))
-        return batch.set_column(
-            batch.column_names.index("cluster"), "cluster", cluster
-        )
-
-    result = joined.map_batches(fill_own, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    result = result.materialize()
+    result = _attach_labels(universe, labels, join_partitions).materialize()
     metrics["t_cluster_s"] = round(time.perf_counter() - t2, 3)
     metrics["t_total_s"] = round(time.perf_counter() - t0, 3)
     return result, metrics
@@ -267,8 +309,6 @@ def run_dedup_checkpointed(
     t2 = time.perf_counter()
 
     def build_labels() -> Dataset:
-        from hyrise_generalized_dedup_ray.util import heal_blocks
-
         labels, cc_metrics = connected_components(
             edges, eng, force_distributed=force_distributed_cc
         )
@@ -277,20 +317,7 @@ def run_dedup_checkpointed(
                  max(4, min(eng.join_partition_cap,
                             int(ray.cluster_resources().get("CPU", 8)) // 2)))
         universe = signatures.select_columns(["url", "doc_id"])
-        joined = universe.join(
-            heal_blocks(labels, max(2, jp // 4)),
-            join_type="left_outer", num_partitions=jp,
-            on=("doc_id",),
-        )
-
-        def fill_own(batch: pa.Table) -> pa.Table:
-            cluster = pc.coalesce(batch.column("cluster"), batch.column("doc_id"))
-            return batch.set_column(
-                batch.column_names.index("cluster"), "cluster", cluster
-            )
-
-        return joined.map_batches(fill_own, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        return _attach_labels(universe, labels, jp)
 
     result, resumed_labels = checkpoint_stage(
         "labels", ckpt_dir, eng_hash, in_fp, build_labels,

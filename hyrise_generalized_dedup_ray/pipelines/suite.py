@@ -623,6 +623,36 @@ def meta_segments(sf_dir: str):
                      "n_cols": pa.array(nc, type=I64)})
 
 
+_SQL_TYPE_NAMES = {
+    "int32": "INTEGER", "int64": "BIGINT", "float": "FLOAT",
+    "double": "DOUBLE", "string": "VARCHAR", "large_string": "VARCHAR",
+    "timestamp[us]": "TIMESTAMP", "bool": "BOOLEAN",
+    "list<item: double>": "DOUBLE[]", "list<item: float>": "FLOAT[]",
+    "list<element: double>": "DOUBLE[]", "list<element: float>": "FLOAT[]",
+    "binary": "BLOB", "large_binary": "BLOB",
+}
+
+
+def meta_columns(sf_dir: str):
+    """meta_columns analog (§2.11,
+    src/lib/utils/meta_tables/meta_columns_table.cpp): one row per
+    (table, column) with ordinal position and SQL type name, read from
+    the live catalog's schemas (metadata-only)."""
+    from hyrise_generalized_dedup_ray.relational.catalog import TABLES
+
+    tn, cn, pos, dt = [], [], [], []
+    for t in TABLES:
+        schema = load_table(sf_dir, t).schema()
+        for i, (name, typ) in enumerate(zip(schema.names, schema.types)):
+            tn.append(t)
+            cn.append(name)
+            pos.append(i + 1)
+            dt.append(_SQL_TYPE_NAMES.get(str(typ), str(typ).upper()))
+    return pa.table({"table_name": pa.array(tn), "column_name": pa.array(cn),
+                     "ordinal": pa.array(pos, type=I64),
+                     "data_type": pa.array(dt)})
+
+
 def meta_tables(sf_dir: str):
     """Meta-table analog (§2.11, utils/meta_tables/): per-table row and
     column counts computed from the live catalog."""
@@ -684,6 +714,7 @@ QUERIES = {
     "not_exists_correlated": not_exists_correlated,
     "range_join_events": range_join_events,
     "meta_segments": meta_segments,
+    "meta_columns": meta_columns,
     "meta_tables": meta_tables,
     "multimodal_decode": multimodal_decode,
     "flagship_dedup": flagship_dedup,
@@ -836,6 +867,16 @@ ORACLE_SQL = {
         FROM events a JOIN events b
         ON b.event_id > a.event_id
          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 5000000
+    """,
+    "meta_columns": """
+        SELECT t.table_name, c.column_name,
+               CAST(c.ordinal_position AS BIGINT) AS ordinal,
+               c.data_type
+        FROM information_schema.columns c
+        JOIN (VALUES ('region'),('nation'),('customer'),('supplier'),
+                     ('part'),('orders'),('lineitem'),('events'),
+                     ('documents'),('embeddings')) AS t(table_name)
+          ON c.table_name = t.table_name
     """,
     "meta_segments": """
         SELECT table_name, row_group_id, n_rows, n_bytes, n_cols FROM (

@@ -243,16 +243,25 @@ def pages_parquet_dir(n_docs: int, seed: int = 42, root: str = "/tmp/hgd_fixture
     an existing directory is always valid.  Files: ``pages.parquet``,
     ``pages_truth.parquet``.
     """
-    out = os.path.join(root, f"pages_n{n_docs}_s{seed}_rg256")
+    out = os.path.join(root, f"pages_n{n_docs}_s{seed}_sharded")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(os.path.join(out, "pages"), exist_ok=True)
         pages, truth = generate_pages(n_docs, seed)
-        # many small row groups: row-group count bounds the read-side
-        # task parallelism of a single file (a 1-row-group file forces
-        # a serial read no matter the cluster size)
-        pq.write_table(pages, os.path.join(out, "pages.parquet"),
-                       row_group_size=max(512, n_docs // 256))
+        # MANY FILES, not one: Ray reads one Parquet FILE per task
+        # (override_num_blocks only re-slices the output), so a
+        # single-file corpus serializes the read no matter the cluster
+        # size.  64 shard files is also the realistic web-corpus layout
+        # (WARC shards) the 10^12-doc design point assumes.
+        n_shards = min(64, max(1, n_docs // 512))
+        per = -(-n_docs // n_shards)
+        for s in range(n_shards):
+            part = pages.slice(s * per, per)
+            if len(part):
+                pq.write_table(
+                    part,
+                    os.path.join(out, "pages", f"part-{s:05d}.parquet"),
+                    row_group_size=max(256, per // 4))
         pq.write_table(truth, os.path.join(out, "pages_truth.parquet"))
         with open(done, "w") as f:
             f.write("ok")

@@ -159,6 +159,12 @@ def fingerprint_groups(signatures: Dataset, num_partitions: int = 32) -> Dataset
     )
 
 
+# membership tables up to this many rows (~24 B/row) broadcast the
+# doc→(docset, chunk) index instead of hash-joining texts — the same
+# size-guarded strategy selection as stages/verify.attach_texts.
+BROADCAST_GROUPS_MAX = 2_000_000
+
+
 def substring_edges(
     signatures: Dataset,
     cfg: SignatureConfig,
@@ -169,29 +175,25 @@ def substring_edges(
 
     # groups come out of two groupbys → heal zero-column empty blocks
     # before the join (util.heal_blocks)
+    import ray
+
     from hyrise_generalized_dedup_ray.functions.grouping import (
         partition_ids, sort_groups)
     from hyrise_generalized_dedup_ray.functions.hashing import mix2
 
-    groups = heal_blocks(fingerprint_groups(signatures, num_partitions),
-                         max(2, num_partitions // 4))
-    docs = signatures.select_columns(["doc_id", "text"])
-    with_text = groups.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id",),
-    )
-    min_len = cfg.min_substring_bytes
+    # the suffix/pairwise kernels are the branch's heaviest compute and
+    # group costs are skewed (one boilerplate docset vs thousands of
+    # pairs) — partition the KERNEL stage much wider than the join so
+    # stragglers can't hold a whole partition's worth of groups
+    kernel_partitions = max(4 * num_partitions,
+                            2 * int(ray.cluster_resources().get("CPU", 8)))
 
-    def add_group_pkey(batch: pa.Table) -> pa.Table:
-        """Hash-partition on (docset, chunk) — the sort-based
-        groupby alternative would range-sample and sort the text-heavy
-        rows themselves; hashing moves each row exactly once with no
-        boundary sampling on a string-payload dataset."""
-        dsk = batch.column("docset").to_numpy(zero_copy_only=False)
-        ck = batch.column("chunk").to_numpy(zero_copy_only=False)
-        pk = partition_ids(
-            mix2(dsk.view(np.uint64), ck.view(np.uint64)), num_partitions)
-        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
+    # materialize: the count below AND the broadcast/join consumer both
+    # read `groups` — without pinning, the two fingerprint shuffles
+    # would execute twice
+    groups = fingerprint_groups(signatures, num_partitions).materialize()
+    docs = signatures.select_columns(["doc_id", "text"])
+    min_len = cfg.min_substring_bytes
 
     def suffix_partition(part: pa.Table) -> pa.Table:
         """All (docset, chunk) suffix-array groups of one hash
@@ -219,6 +221,146 @@ def substring_edges(
             "a": pa.array(a_out, type=pa.int64()),
             "b": pa.array(b_out, type=pa.int64()),
         })
+
+
+    n_member_rows = groups.count()
+    if n_member_rows <= BROADCAST_GROUPS_MAX:
+        # broadcast the (docset, chunk, doc_id) membership index (~24
+        # B/row): membership rows ship WITHOUT text (built driver-side,
+        # tiny), and each doc's text ships AT MOST ONCE PER PARTITION
+        # (not once per membership — a doc in many docsets otherwise
+        # replicates its text per docset, the same multi-GB fan-out
+        # that collapsed the verify stage); the kernel joins them
+        # locally by doc id.
+        tables = [t for t in ray.get(groups.to_arrow_refs())
+                  if t.num_columns > 0]
+        gt = pa.concat_tables(tables) if tables else pa.table(
+            {"docset": pa.array([], type=pa.int64()),
+             "chunk": pa.array([], type=pa.int64()),
+             "doc_id": pa.array([], type=pa.int64())})
+        g_ds = gt.column("docset").to_numpy(zero_copy_only=False)
+        g_ch = gt.column("chunk").to_numpy(zero_copy_only=False)
+        g_id = gt.column("doc_id").to_numpy(zero_copy_only=False)
+        g_pk = partition_ids(mix2(g_ds.view(np.uint64), g_ch.view(np.uint64)),
+                             kernel_partitions)
+        m = len(g_id)
+        i64, s_ = pa.int64(), pa.string()
+        schema = pa.schema([("pkey", i64), ("kind", i64), ("docset", i64),
+                            ("chunk", i64), ("doc_id", i64), ("text", s_)])
+        member_rows = ray.data.from_arrow(pa.table({
+            "pkey": pa.array(g_pk, type=i64),
+            "kind": pa.array(np.zeros(m, dtype=np.int64), type=i64),
+            "docset": pa.array(g_ds, type=i64),
+            "chunk": pa.array(g_ch, type=i64),
+            "doc_id": pa.array(g_id, type=i64),
+            "text": pa.nulls(m, type=s_),
+        }, schema=schema))
+
+        order = np.argsort(g_id, kind="stable")
+        ref = ray.put({"md": g_id[order], "mpk": g_pk[order]})
+        P = kernel_partitions
+
+        def melt_texts(batch: pa.Table) -> pa.Table:
+            st = ray.get(ref)
+            md, mpk = st["md"], st["mpk"]
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(md, ids, "left")
+            hi = np.searchsorted(md, ids, "right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            doc_rows = np.repeat(np.arange(len(ids)), cnt)
+            excl = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) \
+                else np.empty(0, dtype=np.int64)
+            pos = np.arange(total) + np.repeat(lo - excl, cnt)
+            pks = mpk[pos]
+            key = doc_rows * np.int64(P) + pks
+            keep = np.zeros(total, dtype=bool)
+            if total:
+                o2 = np.argsort(key, kind="stable")
+                ks = key[o2]
+                first = np.concatenate([[True], ks[1:] != ks[:-1]])
+                keep[o2[first]] = True
+            doc_rows, pks = doc_rows[keep], pks[keep]
+            k = len(doc_rows)
+            return pa.table({
+                "pkey": pa.array(pks, type=i64),
+                "kind": pa.array(np.ones(k, dtype=np.int64), type=i64),
+                "docset": pa.nulls(k, type=i64),
+                "chunk": pa.nulls(k, type=i64),
+                "doc_id": pa.array(ids[doc_rows], type=i64),
+                "text": batch.column("text").take(pa.array(doc_rows)),
+            }, schema=schema)
+
+        text_rows = docs.map_batches(melt_texts, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+        def fused_partition(part: pa.Table) -> pa.Table:
+            kind = part.column("kind").to_numpy(zero_copy_only=False)
+            mem_idx = np.flatnonzero(kind == 0)
+            doc_idx = np.flatnonzero(kind == 1)
+            if len(mem_idx) == 0 or len(doc_idx) == 0:
+                return pa.table({"a": pa.array([], type=i64),
+                                 "b": pa.array([], type=i64)})
+            dids = part.column("doc_id").to_numpy(
+                zero_copy_only=False)[doc_idx].astype(np.int64)
+            dorder = np.argsort(dids, kind="stable")
+            dids_sorted = dids[dorder]
+            texts = part.column("text").take(pa.array(doc_idx[dorder]))
+            dsk = part.column("docset").to_numpy(
+                zero_copy_only=False)[mem_idx].astype(np.int64)
+            ck = part.column("chunk").to_numpy(
+                zero_copy_only=False)[mem_idx].astype(np.int64)
+            ids = part.column("doc_id").to_numpy(
+                zero_copy_only=False)[mem_idx].astype(np.int64)
+            order3, starts, ends = sort_groups((dsk, ck), order_by=(ids,))
+            ids_sorted = ids[order3]
+            a_out: list[int] = []
+            b_out: list[int] = []
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                gids = ids_sorted[s:e]
+                pos = np.searchsorted(dids_sorted, gids)
+                pos_c = np.minimum(pos, len(dids_sorted) - 1)
+                ok = dids_sorted[pos_c] == gids
+                if not ok.all():
+                    gids = gids[ok]
+                    pos_c = pos_c[ok]
+                    if len(gids) < 2:
+                        continue
+                chunk_texts = [texts[int(p)].as_py().encode("utf-8")
+                               for p in pos_c]
+                for ia, ib in cross_doc_repeats(chunk_texts, min_len):
+                    x, y = int(gids[ia]), int(gids[ib])
+                    a_out.append(min(x, y))
+                    b_out.append(max(x, y))
+            return pa.table({
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+            })
+
+        return (
+            member_rows.union(text_rows)
+            .groupby("pkey")
+            .map_groups(fused_partition, batch_format="pyarrow")
+        )
+
+    groups = heal_blocks(groups, max(2, num_partitions // 4))
+    with_text = groups.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def add_group_pkey(batch: pa.Table) -> pa.Table:
+        """Hash-partition on (docset, chunk) — the sort-based
+        groupby alternative would range-sample and sort the text-heavy
+        rows themselves; hashing moves each row exactly once with no
+        boundary sampling on a string-payload dataset."""
+        dsk = batch.column("docset").to_numpy(zero_copy_only=False)
+        ck = batch.column("chunk").to_numpy(zero_copy_only=False)
+        pk = partition_ids(
+            mix2(dsk.view(np.uint64), ck.view(np.uint64)), kernel_partitions)
+        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
 
     return (
         with_text.map_batches(add_group_pkey, batch_format="pyarrow",

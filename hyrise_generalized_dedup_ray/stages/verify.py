@@ -27,24 +27,36 @@ from hyrise_generalized_dedup_ray.functions.text import (
 )
 
 
+# pairs up to this many rows ride the broadcast attach path (~64 bytes
+# of index state per pair broadcast once); beyond it the two-sided
+# hash join takes over — the JoinHash small-side-builds pragmatism
+# (join_hash.hpp:20-46) applied to strategy selection.
+BROADCAST_PAIRS_MAX = 2_000_000
+
+
 def attach_texts(
     pairs: Dataset, docs: Dataset, num_partitions: int = 32
 ) -> Dataset:
     """(a,b) ⋈ docs(doc_id,text) twice → (a, b, text_a, text_b).
 
-    Join fan-out scales with the session's CPU count (callers pass a
-    cluster-derived ``num_partitions``); the floor of 4 only guards
-    degenerate tiny sessions.  Each Dataset.join spawns one aggregator
-    actor per partition — a fixed per-partition spawn cost that is paid
-    once and amortized over the text payload, so width must follow the
-    cluster (a hard cap here would freeze the pipeline's widest data
-    movement at one node's worth of parallelism forever).  (A join-free
-    melt→attach→pivot variant was tried and is slower: Ray's sort-based
-    groupby handles large string payloads worse than the hash-shuffle
-    join.)"""
+    Strategy is size-guarded like the reference's join planning:
+
+    - pairs ≤ ``BROADCAST_PAIRS_MAX``: broadcast the pair MEMBERSHIP
+      INDEX (sorted doc→(pair,slot) arrays, built once), melt texts
+      against it in a map over docs, and pivot with ONE hash-partition
+      groupby — no join aggregator actors, and only texts that appear
+      in some pair ever cross the shuffle.
+    - larger: two hash-shuffle ``Dataset.join``s, fan-out from the
+      caller's cluster-derived ``num_partitions`` (a hard cap here
+      would freeze the pipeline's widest data movement at one node's
+      worth of parallelism forever)."""
     from hyrise_generalized_dedup_ray.util import heal_blocks
 
     num_partitions = max(4, num_partitions)
+    # pin: count + the chosen strategy both consume `pairs`
+    pairs = pairs.materialize()
+    if pairs.count() <= BROADCAST_PAIRS_MAX:
+        return _attach_texts_broadcast(pairs, docs, num_partitions)
 
     # pairs come out of a groupby → may carry zero-column empty blocks
     # that break the join's schema resolution (util.heal_blocks)
@@ -61,6 +73,78 @@ def attach_texts(
         on=("b",), right_on=("doc_id",),
     ).rename_columns({"text": "text_b"}).select_columns(["a", "b", "text_a", "text_b"])
     return j2
+
+
+def _attach_texts_broadcast(
+    pairs: Dataset, docs: Dataset, num_partitions: int
+) -> Dataset:
+    """Broadcast-index attach (see :func:`attach_texts`): one map over
+    docs emits (pair, slot, a, b, text) rows for every pair membership,
+    then one hash-partition groupby pivots the two slots together."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
+
+    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
+    pt = pa.concat_tables(tables) if tables else pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    a = pt.column("a").to_numpy(zero_copy_only=False)
+    b = pt.column("b").to_numpy(zero_copy_only=False)
+    n = len(a)
+    member_doc = np.concatenate([a, b])
+    member_pair = np.tile(np.arange(n, dtype=np.int64), 2)
+    member_slot = np.concatenate([np.zeros(n, dtype=np.int64),
+                                  np.ones(n, dtype=np.int64)])
+    order = np.argsort(member_doc, kind="stable")
+    state_ref = ray.put({
+        "md": member_doc[order], "mp": member_pair[order],
+        "ms": member_slot[order], "a": a, "b": b,
+    })
+
+    def melt(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)   # zero-copy views from the object store
+        md, mp, ms = st["md"], st["mp"], st["ms"]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(md, ids, "left")
+        hi = np.searchsorted(md, ids, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        doc_rows = np.repeat(np.arange(len(ids)), cnt)
+        excl = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) else \
+            np.empty(0, dtype=np.int64)
+        pos = np.arange(total) + np.repeat(lo - excl, cnt)
+        pidx = mp[pos]
+        return pa.table({
+            "pair": pa.array(pidx, type=pa.int64()),
+            "slot": pa.array(ms[pos], type=pa.int64()),
+            "a": pa.array(st["a"][pidx], type=pa.int64()),
+            "b": pa.array(st["b"][pidx], type=pa.int64()),
+            "text": batch.column("text").take(pa.array(doc_rows)),
+            "pkey": pa.array(partition_ids(pidx, num_partitions),
+                             type=pa.int64()),
+        })
+
+    def pivot(part: pa.Table) -> pa.Table:
+        pidx = part.column("pair").to_numpy(zero_copy_only=False)
+        slot = part.column("slot").to_numpy(zero_copy_only=False)
+        order2, starts, ends = sort_groups((pidx,), order_by=(slot,))
+        # complete pairs have exactly two rows (slot 0 then 1); an
+        # incomplete pair (doc missing from docs) drops, matching the
+        # inner-join semantics of the large path
+        full = (ends - starts) == 2
+        r0 = order2[starts[full]]
+        r1 = order2[starts[full] + 1]
+        return pa.table({
+            "a": part.column("a").take(pa.array(r0)),
+            "b": part.column("b").take(pa.array(r0)),
+            "text_a": part.column("text").take(pa.array(r0)),
+            "text_b": part.column("text").take(pa.array(r1)),
+        })
+
+    melted = docs.map_batches(melt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return melted.groupby("pkey").map_groups(pivot, batch_format="pyarrow")
 
 
 # per-worker-process shingle-set cache: a hot document (boilerplate,
@@ -129,10 +213,24 @@ def verify_pairs(
 ) -> Dataset:
     """Candidate pairs → verified near-duplicate edges (a,b).
 
+    Strategy is size-guarded (JoinHash small-side-builds pragmatism):
+
+    - pairs ≤ ``BROADCAST_PAIRS_MAX``: FUSED attach+verify — pairs are
+      hash-partitioned, each doc's text is shipped AT MOST ONCE PER
+      PARTITION (not once per pair!), and the partition kernel looks
+      texts up locally and Jaccard-verifies in place.  A hot
+      boilerplate doc appearing in hundreds of candidate pairs was
+      otherwise replicated per pair — measured as a multi-GB text
+      shuffle that collapsed the stage at 240k docs.
+    - larger: two-sided hash joins (attach_texts) + a verify map.
+
     The verifier runs as plain tasks (warm-worker reuse, elastic
-    parallelism — deliberately NO concurrency cap, so the stage widens
-    with the cluster); see the process-cache note in
-    stages/signatures.py for when an actor pool is the right shape."""
+    parallelism); see the process-cache note in stages/signatures.py
+    for when an actor pool is the right shape."""
+    pairs = pairs.materialize()
+    if pairs.count() <= BROADCAST_PAIRS_MAX:
+        return _verify_broadcast(pairs, docs, cfg, batch_size,
+                                 num_partitions)
 
     with_texts = attach_texts(pairs, docs, num_partitions)
 
@@ -143,6 +241,137 @@ def verify_pairs(
         verify_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
+    )
+
+
+def _verify_broadcast(
+    pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
+    batch_size: int, num_partitions: int,
+) -> Dataset:
+    """Fused attach+verify (see :func:`verify_pairs`): ONE
+    hash-partition groupby over the union of pair rows and
+    per-(doc, partition)-deduplicated text rows."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.functions.grouping import (
+        partition_ids, sort_groups)
+    from hyrise_generalized_dedup_ray.functions.hashing import mix2
+
+    P = max(4, num_partitions)
+    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
+    pt = pa.concat_tables(tables) if tables else pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    a = pt.column("a").to_numpy(zero_copy_only=False)
+    b = pt.column("b").to_numpy(zero_copy_only=False)
+    pk = partition_ids(mix2(a.view(np.uint64), b.view(np.uint64)), P)
+    n = len(a)
+
+    i64, s_ = pa.int64(), pa.string()
+    schema = pa.schema([("pkey", i64), ("kind", i64), ("a", i64),
+                        ("b", i64), ("doc_id", i64), ("text", s_)])
+    pair_rows = ray.data.from_arrow(pa.table({
+        "pkey": pa.array(pk, type=i64),
+        "kind": pa.array(np.zeros(n, dtype=np.int64), type=i64),
+        "a": pa.array(a, type=i64),
+        "b": pa.array(b, type=i64),
+        "doc_id": pa.nulls(n, type=i64),
+        "text": pa.nulls(n, type=s_),
+    }, schema=schema))
+
+    member_doc = np.concatenate([a, b])
+    member_pk = np.concatenate([pk, pk])
+    order = np.argsort(member_doc, kind="stable")
+    ref = ray.put({"md": member_doc[order], "mpk": member_pk[order]})
+
+    def melt_texts(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        md, mpk = st["md"], st["mpk"]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(md, ids, "left")
+        hi = np.searchsorted(md, ids, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        doc_rows = np.repeat(np.arange(len(ids)), cnt)
+        excl = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) else \
+            np.empty(0, dtype=np.int64)
+        pos = np.arange(total) + np.repeat(lo - excl, cnt)
+        pks = mpk[pos]
+        # dedup (doc, partition): ship each text once per partition
+        key = doc_rows * np.int64(P) + pks
+        keep = np.zeros(total, dtype=bool)
+        if total:
+            o2 = np.argsort(key, kind="stable")
+            ks = key[o2]
+            first = np.concatenate([[True], ks[1:] != ks[:-1]])
+            keep[o2[first]] = True
+        doc_rows, pks = doc_rows[keep], pks[keep]
+        m = len(doc_rows)
+        return pa.table({
+            "pkey": pa.array(pks, type=i64),
+            "kind": pa.array(np.ones(m, dtype=np.int64), type=i64),
+            "a": pa.nulls(m, type=i64),
+            "b": pa.nulls(m, type=i64),
+            "doc_id": pa.array(ids[doc_rows], type=i64),
+            "text": batch.column("text").take(pa.array(doc_rows)),
+        }, schema=schema)
+
+    text_rows = docs.map_batches(melt_texts, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def verify_partition(part: pa.Table) -> pa.Table:
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        is_pair = kind == 0
+        pair_idx = np.flatnonzero(is_pair)
+        doc_idx = np.flatnonzero(~is_pair)
+        if len(pair_idx) == 0 or len(doc_idx) == 0:
+            return pa.table({"a": pa.array([], type=i64),
+                             "b": pa.array([], type=i64)})
+        dids = part.column("doc_id").to_numpy(
+            zero_copy_only=False)[doc_idx].astype(np.int64)
+        dorder = np.argsort(dids, kind="stable")
+        dids_sorted = dids[dorder]
+        texts = part.column("text").take(pa.array(doc_idx[dorder]))
+        pa_ids = part.column("a").to_numpy(
+            zero_copy_only=False)[pair_idx].astype(np.int64)
+        pb_ids = part.column("b").to_numpy(
+            zero_copy_only=False)[pair_idx].astype(np.int64)
+
+        def lookup(x):
+            pos = np.searchsorted(dids_sorted, x)
+            pos_c = np.minimum(pos, len(dids_sorted) - 1)
+            ok = dids_sorted[pos_c] == x
+            return pos_c, ok
+
+        la, oka = lookup(pa_ids)
+        lb, okb = lookup(pb_ids)
+        ok = oka & okb
+        la, lb = la[ok], lb[ok]
+        pa_ok, pb_ok = pa_ids[ok], pb_ids[ok]
+        verifier = JaccardVerifier(cfg)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, len(pa_ok), batch_size):
+            e = s + batch_size
+            chunk = pa.table({
+                "a": pa.array(pa_ok[s:e], type=i64),
+                "b": pa.array(pb_ok[s:e], type=i64),
+                "text_a": texts.take(pa.array(la[s:e])),
+                "text_b": texts.take(pa.array(lb[s:e])),
+            })
+            res = verifier(chunk)
+            out_a.append(res.column("a").to_numpy(zero_copy_only=False))
+            out_b.append(res.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a) if out_a else
+                          np.empty(0, dtype=np.int64), type=i64),
+            "b": pa.array(np.concatenate(out_b) if out_b else
+                          np.empty(0, dtype=np.int64), type=i64),
+        })
+
+    return (
+        pair_rows.union(text_rows)
+        .groupby("pkey")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
 
 

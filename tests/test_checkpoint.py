@@ -54,7 +54,7 @@ def test_incomplete_checkpoint_not_reused(ray_session, tmp_path):
 
 def test_flagship_checkpointed_run_resumes(ray_session, tmp_path):
     fixture_dir = pages_parquet_dir(300, seed=7, root=str(tmp_path / "fx"))
-    path = os.path.join(fixture_dir, "pages.parquet")
+    path = os.path.join(fixture_dir, "pages")
     ckpt = str(tmp_path / "run1")
 
     labels1, m1 = run_dedup_checkpointed(path, ckpt, num_partitions=4)

@@ -171,6 +171,19 @@ def test_language_scores_matches_naive():
         assert preds[i] == want
 
 
+# ------------------------------------------------ alias / unary minus
+
+def test_alias_and_unary_minus(ray_session):
+    t = pa.table({"x": pa.array([1, -2, 3], type=pa.int64()),
+                  "y": pa.array([1.5, 2.5, -3.5])})
+    out = _pd(R.alias(_ds(ray_session, t), {"x": "renamed_x"}))
+    assert list(out.columns) == ["renamed_x", "y"]
+    neg = _pd(R.projection(_ds(ray_session, t),
+                           {"nx": R.neg(R.col("x")), "ny": -R.col("y")}))
+    assert neg["nx"].tolist() == [-1, 2, -3]
+    assert neg["ny"].tolist() == [-1.5, -2.5, 3.5]
+
+
 # ------------------------------------------------ batched winnowing
 
 def test_batch_winnow_matches_per_doc():
@@ -186,9 +199,10 @@ def test_batch_winnow_matches_per_doc():
         np.testing.assert_array_equal(got, winnow_fingerprints(t), err_msg=t[:20])
 
 
-def test_two_doc_fast_path_matches_suffix_array():
+def test_small_group_fast_path_matches_suffix_array():
     from hyrise_generalized_dedup_ray.functions.substr import (
-        _two_doc_has_repeat, cross_doc_repeats)
+        PAIRWISE_MAX_GROUP, _small_group_repeats, cross_doc_repeats,
+        suffix_array)  # noqa: F401  (suffix_array: ensure SA path importable)
 
     rng = np.random.default_rng(9)
     vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
@@ -198,8 +212,13 @@ def test_two_doc_fast_path_matches_suffix_array():
                 (mk() + " " + shared).encode()]
     without = [mk().encode(), ("zulu " * 30).encode()]
     assert cross_doc_repeats(with_run, 50) == [(0, 1)]
-    assert _two_doc_has_repeat(with_run[0], with_run[1], 50) is True
+    assert _small_group_repeats(with_run, 50) == [(0, 1)]
     assert cross_doc_repeats(without, 50) == []
+    # 4-doc group: all-pairs among run-sharers, none to the outsider
+    grp = [with_run[0], with_run[1], (mk() + " " + shared).encode(),
+           mk().encode()]
+    assert set(cross_doc_repeats(grp, 50)) == {(0, 1), (0, 2), (1, 2)}
+    assert len(grp) <= PAIRWISE_MAX_GROUP
 
 
 # -------------------------------------------- vectorized union-find
