@@ -19,5 +19,5 @@ from hyrise_generalized_dedup_ray.relational.operators import (  # noqa: F401
     theta_join, top_k, union_all, union_distinct,
 )
 from hyrise_generalized_dedup_ray.relational.catalog import (  # noqa: F401
-    export_table, import_file, load_table, load_tbl,
+    export_table, export_tbl, import_file, load_table, load_tbl,
 )

@@ -86,6 +86,46 @@ def load_tbl(path: str) -> Dataset:
     return ds
 
 
+# Arrow's str(type) names, not the alias names used in _TBL_TYPES
+# (str(pa.float64()) == "double", str(pa.float32()) == "float").
+_TBL_NAMES = {
+    "int32": "int", "int64": "long", "float": "float",
+    "double": "double", "string": "string", "large_string": "string",
+}
+
+
+def export_tbl(ds: Dataset, path: str) -> None:
+    """Write the reference ``.tbl`` golden-file format (inverse of
+    :func:`load_tbl`; load_table.cpp:20-47): 2-line header (names,
+    types with ``_null`` suffix for nullable columns), '|'-separated
+    rows, literal ``null`` for NULLs.  Collects to the driver — golden
+    files are small test fixtures by definition."""
+    import pyarrow as pa
+
+    tables = []
+    for ref in ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_columns > 0:
+            tables.append(t)
+    tbl = pa.concat_tables(tables) if tables else None
+    if tbl is None:
+        raise ValueError("export_tbl: empty dataset with no schema")
+    names = tbl.column_names
+    types = []
+    for f in tbl.schema:
+        base = _TBL_NAMES.get(str(f.type))
+        if base is None:
+            raise ValueError(f"export_tbl: unsupported type {f.type}")
+        types.append(base + ("_null" if tbl.column(f.name).null_count else ""))
+    with open(path, "w") as out:
+        out.write("|".join(names) + "\n")
+        out.write("|".join(types) + "\n")
+        cols = [tbl.column(n).to_pylist() for n in names]
+        for row in zip(*cols):
+            out.write("|".join(
+                "null" if v is None else str(v) for v in row) + "\n")
+
+
 def import_file(path: str, file_type: str = "auto", **kwargs) -> Dataset:
     """Import operator (import.hpp:21): load file → Dataset, format by
     extension like the reference's FileType::Auto (file_type.hpp:7).

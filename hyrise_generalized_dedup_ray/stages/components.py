@@ -220,12 +220,14 @@ def connected_components(
         return labels_from_star_edges(star), metrics
 
     metrics["cc_mode"] = "driver_union_find"
-    parts_a, parts_b = [], []
-    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        parts_a.append(batch.column("a").to_numpy(zero_copy_only=False))
-        parts_b.append(batch.column("b").to_numpy(zero_copy_only=False))
-    a = np.concatenate(parts_a) if parts_a else np.empty(0, dtype=np.int64)
-    b = np.concatenate(parts_b) if parts_b else np.empty(0, dtype=np.int64)
+    tables = [t for t in ray.get(edges.to_arrow_refs())
+              if t.num_columns > 0 and len(t)]
+    if tables:
+        full = pa.concat_tables(tables)
+        a = full.column("a").to_numpy(zero_copy_only=False)
+        b = full.column("b").to_numpy(zero_copy_only=False)
+    else:
+        a = b = np.empty(0, dtype=np.int64)
     nodes, labels = _vector_components(a, b)
     tbl = pa.table({
         "doc_id": pa.array(nodes, type=pa.int64()),

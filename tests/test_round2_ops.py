@@ -132,6 +132,20 @@ def test_load_tbl_reference_format(ray_session, tmp_path):
     assert out["c"].tolist() == ["x", "null", "y"]
 
 
+def test_tbl_roundtrip(ray_session, tmp_path):
+    t = pa.table({
+        "i": pa.array([1, 2, None], type=pa.int32()),
+        "d": pa.array([1.5, None, 3.0], type=pa.float64()),
+        "s": pa.array(["x", "null", "z"]),
+    })
+    p = tmp_path / "rt.tbl"
+    R.export_tbl(_ds(ray_session, t), str(p))
+    back = _pd(R.load_tbl(str(p)))
+    assert back["i"].fillna(-1).tolist() == [1, 2, -1]
+    assert back["s"].tolist() == ["x", "null", "z"]
+    assert back["d"].fillna(-1).tolist() == [1.5, -1, 3.0]
+
+
 def test_print_table(ray_session):
     t = pa.table({"x": pa.array([1, 2], type=pa.int64()),
                   "y": pa.array(["a", "b"])})
