@@ -17,11 +17,32 @@ from __future__ import annotations
 
 import numpy as np
 
-from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
+from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
 
 _U64 = np.uint64
 # odd multiplier for the degree-(n-1) polynomial combine of token hashes
 _SHINGLE_A = _U64(0x9E3779B97F4A7C15)
+
+
+# ASCII-whitespace lookup table for the byte-level tokenizer
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+_WS_LUT_NEG = ~_WS_LUT
+# modular inverse of _SHINGLE_A mod 2**64 (A is odd → invertible):
+# lets the per-token polynomial hash be computed from two prefix scans
+# instead of a Python loop over tokens.
+_SHINGLE_A_INV = _U64(pow(int(_SHINGLE_A), -1, 1 << 64))
+
+
+# byte budget per vectorized tokenizer chunk: the kernel's uint64
+# prefix-scan scratch is ~45× the chunk's byte length, so the chunk
+# must stay SMALL — this sandbox faults fresh anonymous pages at only
+# ~5-20 MB/s, making scratch first-touch (per worker process) the
+# dominant cost of any large-chunk variant (measured: an 8 MiB chunk
+# ⇒ ~570 MB scratch ⇒ ~30 s one-time per worker).  256 KiB ⇒ ~12 MB
+# scratch (sub-second warmup, L2/L3-resident steady state); the
+# per-chunk Python dispatch (~30 numpy calls) is noise at this size.
+_TOKENIZE_CHUNK_BYTES = 256 << 10
 
 
 def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -29,15 +50,145 @@ def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
 
     Returns ``(flat_token_hashes, doc_offsets)`` where ``doc_offsets``
     has length ``len(texts)+1`` and doc i's token hashes are
-    ``flat[offsets[i]:offsets[i+1]]`` (CSR).  `str.split()` (C level)
-    per doc + one vectorized SipHash over the flattened token array.
+    ``flat[offsets[i]:offsets[i+1]]`` (CSR).
+
+    Fully vectorized over the concatenated utf-8 bytes: tokens are
+    maximal runs of non-ASCII-whitespace bytes, and each token's hash
+    is a degree-(L-1) polynomial of its bytes extracted from two prefix
+    scans (cumprod of powers + cumsum of weighted bytes, exact mod
+    2^64), finished with splitmix64 so the token hashes carry no
+    residual polynomial structure into the shingle combine.  The
+    earlier implementation built a Python list of every token string
+    and SipHashed the object array — ~2 µs/token, the measured
+    bottleneck of both the signature and verify stages.  Large batches
+    are processed in ≤``_TOKENIZE_CHUNK_BYTES`` chunks split at
+    document boundaries (hashes are per-token, so chunking is exact).
     """
-    token_lists = [t.split() if t else [] for t in texts]
-    lengths = np.fromiter((len(ts) for ts in token_lists), dtype=np.int64, count=len(token_lists))
-    offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    flat: list[str] = [tok for ts in token_lists for tok in ts]
-    return hash_strings(flat), offsets
+    ndocs = len(texts)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    if ndocs == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    bufs = [t.encode("utf-8") if t else b"" for t in texts]
+    doc_lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=ndocs)
+    counts = np.empty(ndocs, dtype=np.int64)
+    hash_parts: list[np.ndarray] = []
+    lo = 0
+    while lo < ndocs:
+        hi, budget = lo, _TOKENIZE_CHUNK_BYTES
+        while hi < ndocs and (hi == lo or doc_lens[hi] <= budget):
+            budget -= doc_lens[hi]
+            hi += 1
+        th, tc = _tokenize_chunk(bufs[lo:hi], doc_lens[lo:hi])
+        hash_parts.append(th)
+        counts[lo:hi] = tc
+        lo = hi
+    np.cumsum(counts, out=offsets[1:])
+    flat = (np.concatenate(hash_parts) if len(hash_parts) > 1
+            else hash_parts[0])
+    return flat, offsets
+
+
+class _TokenizerScratch:
+    """Per-process reusable buffers for :func:`_tokenize_chunk`.
+
+    Buffers above glibc's mmap threshold are mmap'd fresh on every
+    ``np.empty`` and unmapped on free, so a naive kernel pays first-touch
+    page faults for ~35× the text size on EVERY chunk — measured as the
+    dominant cost of the verify stage in this sandbox.  Keeping one
+    capacity-doubling scratch per process makes the fault cost one-time.
+    The power tables are data-independent, so they are *computed* once
+    per capacity as well."""
+
+    def __init__(self):
+        self.cap = 0
+
+    def grow(self, n: int) -> None:
+        cap = max(1024, 1 << int(n - 1).bit_length())
+        self.cap = cap
+        self.is_tok = np.empty(cap, dtype=bool)
+        self.mask = np.empty(cap, dtype=bool)
+        self.b64 = np.empty(cap, dtype=np.uint64)
+        self.csum = np.empty(cap + 1, dtype=np.uint64)
+        # token-level temps (≤ cap//2 + 1 tokens possible)
+        self.t1 = np.empty(cap // 2 + 2, dtype=np.uint64)
+        self.t2 = np.empty(cap // 2 + 2, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            self.apow = np.full(cap, _SHINGLE_A, dtype=np.uint64)
+            self.apow[0] = 1
+            np.cumprod(self.apow, out=self.apow)      # apow[j] = A^j
+            self.ainv = np.full(cap, _SHINGLE_A_INV, dtype=np.uint64)
+            self.ainv[0] = 1
+            np.cumprod(self.ainv, out=self.ainv)      # ainv[j] = A^-j
+
+
+_SCRATCH = _TokenizerScratch()
+
+
+def _splitmix64_inplace(x: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer computed in place (``tmp`` same shape as
+    ``x``) — the allocating :func:`~.hashing.splitmix64` spends more on
+    page faults than arithmetic for multi-MB arrays in this sandbox."""
+    with np.errstate(over="ignore"):
+        x += _U64(0x9E3779B97F4A7C15)
+        np.right_shift(x, _U64(30), out=tmp)
+        x ^= tmp
+        x *= _U64(0xBF58476D1CE4E5B9)
+        np.right_shift(x, _U64(27), out=tmp)
+        x ^= tmp
+        x *= _U64(0x94D049BB133111EB)
+        np.right_shift(x, _U64(31), out=tmp)
+        x ^= tmp
+    return x
+
+
+def _tokenize_chunk(
+    bufs: list[bytes], doc_lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One bounded chunk of :func:`tokenize_batch`: returns the chunk's
+    flat token hashes plus per-doc token counts."""
+    ndocs = len(bufs)
+    # join with a single space so no token can span a document boundary;
+    # doc i's bytes then start at doc_lens.cumsum()[i-1] + i
+    flat = np.frombuffer(b" ".join(bufs), dtype=np.uint8)
+    total = len(flat)
+    counts = np.zeros(ndocs, dtype=np.int64)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    if _SCRATCH.cap < total:
+        _SCRATCH.grow(total)
+    s = _SCRATCH
+    is_tok = np.take(_WS_LUT_NEG, flat, out=s.is_tok[:total])
+    if not np.any(is_tok):
+        return np.empty(0, dtype=np.uint64), counts
+    # token starts: non-ws preceded by ws/BOF; ends: non-ws followed by ws/EOF
+    mask = s.mask[:total]
+    np.greater(is_tok[1:], is_tok[:-1], out=mask[1:])
+    mask[0] = is_tok[0]
+    starts = np.flatnonzero(mask)
+    np.greater(is_tok[:-1], is_tok[1:], out=mask[:-1])
+    mask[total - 1] = is_tok[total - 1]
+    ends = np.flatnonzero(mask)      # inclusive last byte; +1 applied below
+    m = len(starts)
+
+    with np.errstate(over="ignore"):
+        b64 = s.b64[:total]
+        np.copyto(b64, flat, casting="unsafe")
+        b64 *= s.ainv[:total]                         # b[k]·A^-k in place
+        csum = s.csum[: total + 1]
+        csum[0] = 0
+        np.cumsum(b64, out=csum[1:])                  # Σ b[k]·A^-k
+        # token [s,e): Σ b[k]·A^(e-1-k) = A^(e-1)·(csum[e]-csum[s])
+        h, t2 = s.t1[:m], s.t2[:m]
+        np.take(csum[1:], ends, out=h)                # csum[e] (ends = e-1)
+        np.subtract(h, np.take(csum, starts, out=t2), out=h)
+        h *= np.take(s.apow, ends, out=t2)            # apow[e-1]
+        tok_hash = _splitmix64_inplace(h, t2).copy()
+
+    doc_starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
+    tok_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    counts = np.bincount(tok_doc, minlength=ndocs).astype(np.int64)
+    return tok_hash, counts
 
 
 def shingle_hashes(

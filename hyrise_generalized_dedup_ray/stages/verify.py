@@ -257,12 +257,21 @@ def _verify_broadcast(
         partition_ids, sort_groups)
     from hyrise_generalized_dedup_ray.functions.hashing import mix2
 
-    P = max(4, num_partitions)
     tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
     pt = pa.concat_tables(tables) if tables else pa.table(
         {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
+    # Partition count: this path is a SORT shuffle + map_groups, not a
+    # Dataset.join — no per-partition aggregator actors — so the
+    # join_partition_cap reasoning doesn't apply.  The caller's
+    # ``num_partitions`` is only a floor; width follows pairs volume
+    # (~2k pairs / kernel task) and cluster CPUs, because map_groups
+    # parallelism is bounded by the number of distinct pkey values:
+    # 16 groups on 32 CPUs ran the partition kernels near-serially.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = int(np.clip(len(a) // 2000, max(4, num_partitions, 2 * cpus),
+                    8 * cpus))
     pk = partition_ids(mix2(a.view(np.uint64), b.view(np.uint64)), P)
     n = len(a)
 
@@ -347,6 +356,14 @@ def _verify_broadcast(
         ok = oka & okb
         la, lb = la[ok], lb[ok]
         pa_ok, pb_ok = pa_ids[ok], pb_ids[ok]
+        # Chunked per-pair verification with the bounded process-level
+        # shingle cache (JaccardVerifier).  A partition-wide
+        # "shingle every unique doc once" kernel sounds strictly
+        # better, but its working set is the whole partition
+        # (~100 MB of texts + sets) of FRESH allocations per task —
+        # measured 10-25× slower here than this form, whose per-chunk
+        # working set (~10 MB) recycles the worker's heap pages and
+        # whose cache carries hot docs across partitions.
         verifier = JaccardVerifier(cfg)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
@@ -378,45 +395,139 @@ def _verify_broadcast(
 def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     """Edges between documents with byte-identical text.
 
-    Hash-partition on text_hash (functions/grouping pattern — one call
-    per partition, not per group); inside the partition, only hash
-    groups with ≥2 rows are regrouped by the actual text to rule out
-    64-bit collisions.  Star edges (min doc → others), the same rule as
-    the oracle."""
+    Two phases, so the wide shuffle never carries text:
+
+    1. shuffle only (text_hash:u64, doc_id:i64) rows — 16 B/doc — and
+       keep the hash groups with ≥2 members (the only exact-dup
+       candidates; ~the duplicate fraction of the corpus);
+    2. broadcast the candidate doc→partition index, melt each
+       candidate's text out of ``signatures`` in one streaming map
+       (non-candidates never leave their block), and byte-compare
+       within hash groups per partition to rule out 64-bit collisions.
+
+    Star edges (min doc → others), the same rule as the oracle."""
+    import ray
+
     from hyrise_generalized_dedup_ray.functions.grouping import (
         partition_ids, sort_groups)
+
+    i64 = pa.int64()
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         th = batch.column("text_hash").to_numpy(zero_copy_only=False)
         pk = partition_ids(th, num_partitions)
-        return batch.append_column("pkey", pa.array(pk, type=pa.int64()))
+        return pa.table({
+            "pkey": pa.array(pk, type=i64),
+            "text_hash": batch.column("text_hash"),
+            "doc_id": batch.column("doc_id"),
+        })
 
-    def star_partition(part: pa.Table) -> pa.Table:
+    def members_partition(part: pa.Table) -> pa.Table:
         th = part.column("text_hash").to_numpy(zero_copy_only=False)
         ids = part.column("doc_id").to_numpy(zero_copy_only=False)
         order, starts, ends = sort_groups((th,), order_by=(ids,))
         th, ids = th[order], ids[order]
-        texts = part.column("text").take(pa.array(order))
         sizes = ends - starts
-        a: list[int] = []
-        b: list[int] = []
+        keep = np.zeros(len(th), dtype=bool)
         for gi in np.flatnonzero(sizes >= 2):
-            s, e = starts[gi], ends[gi]
-            by_text: dict[str, list[int]] = {}
-            for j in range(s, e):
-                by_text.setdefault(texts[j].as_py(), []).append(int(ids[j]))
-            for members in by_text.values():
-                members.sort()
-                a.extend(members[0] for _ in members[1:])
-                b.extend(members[1:])
+            keep[starts[gi]:ends[gi]] = True
         return pa.table({
-            "a": pa.array(a, type=pa.int64()),
-            "b": pa.array(b, type=pa.int64()),
+            "text_hash": pa.array(th[keep], type=i64),
+            "doc_id": pa.array(ids[keep], type=i64),
+        })
+
+    members = (
+        signatures.select_columns(["doc_id", "text_hash"])
+        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(members_partition, batch_format="pyarrow")
+    ).materialize()
+
+    if members.count() > BROADCAST_PAIRS_MAX:
+        # candidate membership too big to broadcast: hash-join the
+        # candidate texts instead (still only candidates ship text)
+        from hyrise_generalized_dedup_ray.util import heal_blocks
+
+        cand = heal_blocks(members, max(2, num_partitions // 4))
+        with_text = cand.join(
+            signatures.select_columns(["doc_id", "text"]),
+            join_type="inner", num_partitions=num_partitions,
+            on=("doc_id",),
+        )
+
+        def add_th_pkey(batch: pa.Table) -> pa.Table:
+            th = batch.column("text_hash").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "pkey", pa.array(partition_ids(th, num_partitions), type=i64))
+
+        return (
+            with_text.map_batches(add_th_pkey, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("pkey")
+            .map_groups(_confirm_exact_partition, batch_format="pyarrow")
+        )
+
+    tables = [t for t in ray.get(members.to_arrow_refs())
+              if t.num_columns > 0 and len(t)]
+    if not tables:
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], type=i64), "b": pa.array([], type=i64)}))
+    mt = pa.concat_tables(tables)
+    m_th = mt.column("text_hash").to_numpy(zero_copy_only=False)
+    m_id = mt.column("doc_id").to_numpy(zero_copy_only=False)
+    m_pk = partition_ids(m_th, num_partitions)
+    order = np.argsort(m_id, kind="stable")
+    ref = ray.put({"md": m_id[order], "mth": m_th[order],
+                   "mpk": m_pk[order]})
+
+    def melt(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        md = st["md"]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(md, ids)
+        pos_c = np.minimum(pos, len(md) - 1)
+        found = md[pos_c] == ids    # each doc has exactly one text_hash
+        rows = np.flatnonzero(found)
+        pos_f = pos_c[rows]
+        return pa.table({
+            "pkey": pa.array(st["mpk"][pos_f], type=i64),
+            "text_hash": pa.array(st["mth"][pos_f], type=i64),
+            "doc_id": pa.array(ids[rows], type=i64),
+            "text": batch.column("text").take(pa.array(rows)),
         })
 
     return (
-        signatures.select_columns(["doc_id", "text", "text_hash"])
-        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        signatures.select_columns(["doc_id", "text"])
+        .map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pkey")
-        .map_groups(star_partition, batch_format="pyarrow")
+        .map_groups(_confirm_exact_partition, batch_format="pyarrow")
     )
+
+
+def _confirm_exact_partition(part: pa.Table) -> pa.Table:
+    """One hash partition of (text_hash, doc_id, text) candidate rows →
+    byte-confirmed exact-dup star edges (see :func:`exact_dup_edges`)."""
+    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
+
+    i64 = pa.int64()
+    th = part.column("text_hash").to_numpy(zero_copy_only=False)
+    ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+    order2, starts, ends = sort_groups((th,), order_by=(ids,))
+    th, ids = th[order2], ids[order2]
+    texts = part.column("text").take(pa.array(order2))
+    a: list[int] = []
+    b: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        by_text: dict[str, list[int]] = {}
+        for j in range(s, e):
+            by_text.setdefault(texts[j].as_py(), []).append(int(ids[j]))
+        for group in by_text.values():
+            group.sort()
+            a.extend(group[0] for _ in group[1:])
+            b.extend(group[1:])
+    return pa.table({
+        "a": pa.array(a, type=i64),
+        "b": pa.array(b, type=i64),
+    })
