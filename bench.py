@@ -100,7 +100,13 @@ def _warm_workers(num_cpus: int) -> None:
         # first timed stage
         import hyrise_generalized_dedup_ray.stages.signatures  # noqa: F401
         import hyrise_generalized_dedup_ray.stages.verify  # noqa: F401
+        from hyrise_generalized_dedup_ray.functions.text import (
+            _TOKENIZE_CHUNK_BYTES, batch_shingles)
 
+        # first-touch the tokenizer's per-process scratch (~12 MB):
+        # this sandbox faults fresh pages at ~5-20 MB/s, so an
+        # unwarmed worker pays it inside the first timed stage instead
+        batch_shingles(["wa rm up " * (_TOKENIZE_CHUNK_BYTES // 9 + 1)], 5)
         return {"x": np.asarray(b["id"])}
 
     (ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4)
