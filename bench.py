@@ -82,6 +82,19 @@ def run_named_queries(sf_dir: str) -> dict:
     return out
 
 
+def _cpu_stat() -> list[int]:
+    """Cumulative jiffies from /proc/stat line 1 (user…steal)."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:9]]
+
+
+def _steal_pct(before: list[int], after: list[int]) -> float:
+    """Hypervisor steal share of non-idle time between two samples."""
+    d = [b - a for a, b in zip(before, after)]
+    busy = sum(d) - d[3]  # exclude idle: steal relative to demanded CPU
+    return round(100.0 * d[7] / busy, 1) if busy > 0 else 0.0
+
+
 def _warm_workers(num_cpus: int) -> None:
     """Pre-spawn Ray's worker pool before the timers start.
 
@@ -165,7 +178,9 @@ def main() -> None:
         # noise-robust benchmark estimator
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
         results = {}
+        steal = {8: [], 32: []}
         for cpus in (8, 32) * trials:
+            s0 = _cpu_stat()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
                  "--flagship-only", "--json-only",
@@ -174,6 +189,7 @@ def main() -> None:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir},
             )
+            steal[cpus].append(_steal_pct(s0, _cpu_stat()))
             line = proc.stdout.strip().splitlines()[-1]
             parsed = json.loads(line)
             if cpus not in results or parsed["value"] < results[cpus]["value"]:
@@ -191,6 +207,12 @@ def main() -> None:
                         "scaling_docs": ndocs},
             "stage_secs_cpus8": results[8].get("stage_secs"),
             "stage_secs_cpus32": results[32].get("stage_secs"),
+            # hypervisor CPU-steal %% during each trial: this host shows
+            # episodic steal spikes (identical runs vary 2-4×); a high
+            # number here means the corresponding trial measured the
+            # host's mood, not the pipeline — which is why min-of-trials
+            # per level is used above
+            "steal_pct_trials": {"cpus8": steal[8], "cpus32": steal[32]},
             "sf": float(sf), "num_cpus": 32,
         }
         print(json.dumps(out))
