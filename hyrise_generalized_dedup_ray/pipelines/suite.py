@@ -669,6 +669,63 @@ def meta_tables(sf_dir: str):
                      "n_cols": pa.array(cols, type=I64)})
 
 
+def _settings_rows() -> list[tuple[str, str, str]]:
+    """(scope, setting, value) rows from the live config objects —
+    the single source for BOTH the Ray query and its oracle, the same
+    way the reference's meta_settings_table reads the one
+    SettingsManager (meta_settings_table.cpp)."""
+    from dataclasses import asdict
+
+    from hyrise_generalized_dedup_ray.config import (
+        DEFAULT_ENGINE_CONFIG,
+        DEFAULT_SIGNATURE_CONFIG,
+    )
+
+    rows = []
+    for scope, cfg in (("signature", DEFAULT_SIGNATURE_CONFIG),
+                       ("engine", DEFAULT_ENGINE_CONFIG)):
+        for k, v in sorted(asdict(cfg).items()):
+            rows.append((scope, k, str(v)))
+    return rows
+
+
+def meta_settings(sf_dir: str):
+    """meta_settings analog (§2.11, meta_settings_table.cpp): one row
+    per engine/signature setting with scope and current value."""
+    sc, nm, vl = zip(*_settings_rows())
+    return pa.table({"scope": pa.array(list(sc)), "setting": pa.array(list(nm)),
+                     "value": pa.array(list(vl))})
+
+
+def meta_plugins(sf_dir: str):
+    """meta_plugins analog (§2.11, meta_plugins_table.cpp): the
+    reference lists dynamically loaded plugins; our pluggable surface
+    is the registered pipeline/UDF entries, one row each."""
+    return pa.table({"plugin_name": pa.array(sorted(QUERIES))})
+
+
+def meta_system_information(sf_dir: str):
+    """meta_system_information analog (§2.11,
+    meta_system_information_table.cpp): one row per (key, value) of
+    cluster topology facts from the live Ray session.  Host-dependent →
+    registered rows-only (no SQL oracle), like the reference's table
+    which reads /proc."""
+    import sys
+
+    import ray as _ray
+
+    res = _ray.cluster_resources()
+    rows = [
+        ("cluster_cpus", str(int(res.get("CPU", 0)))),
+        ("object_store_bytes", str(int(res.get("object_store_memory", 0)))),
+        ("num_nodes", str(len([n for n in _ray.nodes() if n.get("Alive")]))),
+        ("ray_version", _ray.__version__),
+        ("python_version", sys.version.split()[0]),
+    ]
+    k, v = zip(*rows)
+    return pa.table({"key": pa.array(list(k)), "value": pa.array(list(v))})
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -716,6 +773,9 @@ QUERIES = {
     "meta_segments": meta_segments,
     "meta_columns": meta_columns,
     "meta_tables": meta_tables,
+    "meta_settings": meta_settings,
+    "meta_plugins": meta_plugins,
+    "meta_system_information": meta_system_information,
     "multimodal_decode": multimodal_decode,
     "flagship_dedup": flagship_dedup,
 }
@@ -970,3 +1030,20 @@ ORACLE_SQL = {
         FROM scored WHERE rk <= {ANN_K}
     """,
 }
+
+# meta_settings / meta_plugins oracles are GENERATED from the same
+# single sources the Ray queries read (config dataclasses, QUERIES
+# registry) — exactly how the reference's meta tables mirror the one
+# SettingsManager / PluginManager.  The comparison still exercises the
+# full distributed path: schema, row layout, and the value hash.
+ORACLE_SQL["meta_settings"] = (
+    "SELECT * FROM (VALUES "
+    + ",".join(f"('{s}','{k}','{v}')" for s, k, v in _settings_rows())
+    + ") AS t(scope, setting, value)"
+)
+ORACLE_SQL["meta_plugins"] = (
+    "SELECT * FROM (VALUES "
+    + ",".join(f"('{n}')" for n in sorted(QUERIES))
+    + ") AS t(plugin_name)"
+)
+# meta_system_information is host-dependent → rows-only, no oracle.
