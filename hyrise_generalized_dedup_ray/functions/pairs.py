@@ -71,6 +71,35 @@ def docset_key(sorted_ids: np.ndarray) -> np.uint64:
     return h
 
 
+def batch_docset_keys(ids: np.ndarray, starts: np.ndarray,
+                      sizes: np.ndarray) -> np.ndarray:
+    """docset_key for MANY concatenated groups at once, bit-identical
+    to ``[docset_key(ids[s:s+n]) for s, n in zip(starts, sizes)]``.
+
+    Groups ≤4096 ids (all but pathological ones) are a single chunk of
+    docset_key's loop, so their hash is one ``bitwise_xor.reduceat``
+    over the pre-mixed ids plus two scalar ops — the per-group Python
+    call disappears.  Larger groups fall back to the loop form.
+    """
+    arr = np.asarray(ids, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    keys = np.empty(len(sizes), dtype=np.uint64)
+    if len(sizes) == 0:
+        return keys
+    with np.errstate(over="ignore"):
+        mixed = (arr + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC2B2AE3D27D4EB4F)
+        xor = np.bitwise_xor.reduceat(mixed, starts)
+        # reduceat over a segment of length 1 returns the element; a
+        # trailing empty segment can't occur (sizes >= 1 by contract)
+        keys[:] = (np.uint64(0xCBF29CE484222325) * np.uint64(0x100000001B3)
+                   + xor + sizes.astype(np.uint64))
+    big = np.flatnonzero(sizes > 4096)
+    for i in big:
+        keys[i] = docset_key(arr[starts[i]:starts[i] + sizes[i]])
+    return keys
+
+
 def salt_of(ids: np.ndarray, buckets: int) -> np.ndarray:
     """Deterministic salt bucket per doc id (splitmix64 mod buckets)."""
     from hyrise_generalized_dedup_ray.functions.hashing import splitmix64

@@ -158,3 +158,44 @@ def export_table(ds: Dataset, path: str, file_type: str = "parquet",
     if file_type not in writers:
         raise ValueError(f"unsupported export type: {file_type}")
     writers[file_type](path, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Views + prepared plans (§2.9): the reference stores views as
+# uninstantiated LQPs replayed at reference time (create_view.hpp:14,
+# drop_view.hpp:13, storage_manager.hpp:36-44); prepared plans are
+# parameterized LQPs (create_prepared_plan.hpp:8).  Datasets are lazy
+# plans already, so a view is a *builder function* re-invoked per
+# reference — semantics match: the view tracks underlying data, is not
+# a materialized snapshot, and parameters bind at execution.
+
+_VIEWS: dict = {}
+
+
+def create_view(name: str, builder, or_replace: bool = False) -> None:
+    """CreateView analog.  ``builder(sf_dir, **params) -> Dataset``."""
+    if not or_replace and name in _VIEWS:
+        raise ValueError(f"view {name!r} already exists")
+    if name in TABLES:
+        raise ValueError(f"{name!r} is a base table")
+    _VIEWS[name] = builder
+
+
+def drop_view(name: str, if_exists: bool = False) -> None:
+    """DropView analog (drop_view.hpp:13)."""
+    if name not in _VIEWS:
+        if if_exists:
+            return
+        raise KeyError(f"view {name!r} does not exist")
+    del _VIEWS[name]
+
+
+def load_view(sf_dir: str, name: str, **params) -> Dataset:
+    """Instantiate a view/prepared plan — the StorageManager lookup +
+    LQP deep-copy replay (storage_manager.hpp:36-44), with ``params``
+    bound like prepared-plan placeholders."""
+    return _VIEWS[name](sf_dir, **params)
+
+
+def list_views() -> list:
+    return sorted(_VIEWS)

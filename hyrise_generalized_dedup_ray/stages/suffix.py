@@ -34,8 +34,8 @@ from ray.data import Dataset
 from hyrise_generalized_dedup_ray.config import SignatureConfig
 from hyrise_generalized_dedup_ray.functions.pairs import (
     SUBSTR_MAX_GROUP,
+    batch_docset_keys,
     chunk_with_anchor,
-    docset_key,
 )
 from hyrise_generalized_dedup_ray.functions.substr import cross_doc_repeats
 
@@ -89,23 +89,27 @@ def fingerprint_groups(signatures: Dataset, num_partitions: int = 32) -> Dataset
         else:
             starts = ends = np.empty(0, dtype=np.int64)
         sizes = ends - starts
-        out_set: list[np.ndarray] = []
-        out_ids: list[np.ndarray] = []
-        for gi in np.flatnonzero(sizes >= 2):
-            s, e = starts[gi], ends[gi]
-            grp = ids[s:e]                     # sorted unique already
-            key = np.int64(np.uint64(docset_key(grp)).view(np.int64))
-            out_set.append(np.full(len(grp), key, dtype=np.int64))
-            out_ids.append(grp)
-        if out_set:
-            ds_arr = np.concatenate(out_set)
-            id_arr = np.concatenate(out_ids)
-        else:
-            ds_arr = np.empty(0, dtype=np.int64)
-            id_arr = np.empty(0, dtype=np.int64)
+        # keep only multi-member groups, then hash every group's id set
+        # in ONE reduceat pass (boilerplate corpora have ~millions of
+        # multi-member fingerprint groups per partition — a per-group
+        # docset_key() Python loop here was the substr branch's
+        # dominant cost, ~15µs × 1M groups per partition)
+        multi = sizes >= 2
+        row_keep = np.repeat(multi, sizes) if len(sizes) else \
+            np.empty(0, dtype=bool)
+        ids_k = ids[row_keep]
+        sizes_k = sizes[multi]
+        if len(sizes_k) == 0:
+            return pa.table({
+                "docset": pa.array(np.empty(0, dtype=np.int64)),
+                "doc_id": pa.array(np.empty(0, dtype=np.int64)),
+            })
+        gstarts = np.concatenate([[0], np.cumsum(sizes_k)[:-1]])
+        keys = batch_docset_keys(ids_k, gstarts, sizes_k)
         return pa.table({
-            "docset": pa.array(ds_arr, type=pa.int64()),
-            "doc_id": pa.array(id_arr, type=pa.int64()),
+            "docset": pa.array(np.repeat(keys.view(np.int64), sizes_k),
+                               type=pa.int64()),
+            "doc_id": pa.array(ids_k, type=pa.int64()),
         })
 
     def add_ds_pkey(batch: pa.Table) -> pa.Table:
@@ -188,10 +192,16 @@ def substring_edges(
     kernel_partitions = max(4 * num_partitions,
                             2 * int(ray.cluster_resources().get("CPU", 8)))
 
+    # the fingerprint grouping is kernel-bound, not shuffle-bound
+    # (measured: 29M exploded rows shuffle in ~3-5s at any width, the
+    # members kernel dominates) — so its width follows the CLUSTER, not
+    # the join fan-out cap, keeping every core busy at 4× cluster sizes
+    grp_partitions = max(num_partitions,
+                         2 * int(ray.cluster_resources().get("CPU", 8)))
     # materialize: the count below AND the broadcast/join consumer both
     # read `groups` — without pinning, the two fingerprint shuffles
     # would execute twice
-    groups = fingerprint_groups(signatures, num_partitions).materialize()
+    groups = fingerprint_groups(signatures, grp_partitions).materialize()
     docs = signatures.select_columns(["doc_id", "text"])
     min_len = cfg.min_substring_bytes
 

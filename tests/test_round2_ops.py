@@ -331,3 +331,50 @@ def test_aggregate_count_distinct_partition_kernel(ray_session):
         assert out[c].tolist() == want[c].tolist(), c
     for c in ["s", "mn", "mx", "av", "sd"]:
         np.testing.assert_allclose(out[c], want[c], rtol=1e-12, err_msg=c)
+
+
+# ------------------------------------- views / prepared plans (§2.9)
+
+def test_create_load_drop_view(ray_session, tmp_path):
+    from hyrise_generalized_dedup_ray.relational import catalog as C
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "v": pa.array(["a", "b", "c", "d"])})
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(tmp_path / "region.parquet"))
+
+    def big_keys(sf_dir, min_k=3):
+        ds = C.load_table(sf_dir, "region")
+        return ds.filter(lambda row: row["k"] >= min_k)
+
+    C.create_view("big_keys", big_keys)
+    with pytest.raises(ValueError):
+        C.create_view("big_keys", big_keys)        # duplicate
+    with pytest.raises(ValueError):
+        C.create_view("region", big_keys)          # shadows base table
+    assert "big_keys" in C.list_views()
+
+    # default + bound prepared-plan parameter
+    out = _pd(C.load_view(str(tmp_path), "big_keys")).sort_values("k")
+    assert out["k"].tolist() == [3, 4]
+    out2 = _pd(C.load_view(str(tmp_path), "big_keys", min_k=2))
+    assert sorted(out2["k"].tolist()) == [2, 3, 4]
+
+    C.drop_view("big_keys")
+    with pytest.raises(KeyError):
+        C.drop_view("big_keys")
+    C.drop_view("big_keys", if_exists=True)        # no raise
+
+
+def test_batch_docset_keys_matches_loop():
+    from hyrise_generalized_dedup_ray.functions.pairs import (
+        batch_docset_keys, docset_key)
+
+    rng = np.random.default_rng(7)
+    sizes = np.array([2, 3, 1, 4096, 4097, 9000, 2], dtype=np.int64)
+    ids = rng.integers(0, 1 << 62, int(sizes.sum()), dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    got = batch_docset_keys(ids, starts, sizes)
+    want = np.array([docset_key(np.sort(ids[s:s + n]) * 0 + ids[s:s + n])
+                     for s, n in zip(starts, sizes)], dtype=np.uint64)
+    assert got.tolist() == want.tolist()
