@@ -106,15 +106,20 @@ def _edge_branches(
 
     def run_lsh_verify() -> Dataset:
         t = time.perf_counter()
-        pairs, lsh_metrics = candidate_pairs(signatures, eng, num_partitions)
+        # dedupe=False: the verifier's broadcast path dedups pairs
+        # driver-side while building its index — one less all-to-all
+        # (and one less materialize barrier) on the chain
+        pairs, lsh_metrics = candidate_pairs(signatures, eng,
+                                             num_partitions, dedupe=False)
         pairs = pairs.materialize()
         metrics.update(lsh_metrics)
-        metrics["n_candidate_pairs"] = pairs.count()
+        metrics["n_candidate_rows"] = pairs.count()
         metrics["t_lsh_s"] = round(time.perf_counter() - t, 3)
         t2 = time.perf_counter()
         near = verify_pairs(pairs, docs, cfg,
                             batch_size=eng.verify_batch_size,
-                            num_partitions=join_partitions).materialize()
+                            num_partitions=join_partitions,
+                            pre_deduped=False).materialize()
         metrics["t_verify_s"] = round(time.perf_counter() - t2, 3)
         return near
 

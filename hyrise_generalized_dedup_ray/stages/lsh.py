@@ -73,8 +73,12 @@ def candidate_pairs(
     signatures: Dataset,
     eng: EngineConfig,
     num_partitions: int = 64,
+    dedupe: bool = True,
 ) -> tuple[Dataset, dict]:
-    """Signatures → deduplicated candidate pair Dataset (a:i64, b:i64).
+    """Signatures → candidate pair Dataset (a:i64, b:i64), deduplicated
+    unless ``dedupe=False`` (the flagship passes False: its verifier
+    collects pairs for the broadcast index anyway and dedups there,
+    saving this extra all-to-all of the pair set).
 
     Semantics are the oracle's ``band_group_candidates`` applied per
     full band group — the kernel below literally calls that shared
@@ -93,30 +97,62 @@ def candidate_pairs(
         pkey = partition_ids(keys, num_partitions)
         return batch.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
+    # largest group size whose full pair set fits under the cap —
+    # such groups take the vectorized all-pairs path below
+    full_max = 2
+    while (full_max + 1) * full_max // 2 <= pair_cap:
+        full_max += 1
+    full_max = min(full_max - 1, salt_threshold)
+
     def partition_pairs(part: pa.Table) -> pa.Table:
         """One call per hash partition; groups resolved with lexsort +
-        boundary scan, Python loop only over multi-member groups (the
-        overwhelming majority of band keys are singletons and are
-        skipped vectorized)."""
+        boundary scan.  Small groups (the overwhelming majority —
+        C(n,2) under the cap) emit their pairs VECTORIZED per size
+        class; only capped/salted groups fall back to the shared
+        per-group rule (band_group_candidates) — semantics identical
+        because the vectorized form IS emit_group_pairs' all-pairs
+        branch."""
         bk = part.column("band_key").to_numpy(zero_copy_only=False)
         ids = part.column("doc_id").to_numpy(zero_copy_only=False)
         order, starts, ends = sort_groups((bk,), order_by=(ids,))
         bk, ids = bk[order], ids[order]
+        # drop duplicate (band, doc) rows, recompute boundaries
+        if len(bk):
+            keep = np.concatenate(
+                [[True], (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])])
+            bk, ids = bk[keep], ids[keep]
+            idx = np.flatnonzero(bk[1:] != bk[:-1]) + 1
+            starts = np.concatenate([[0], idx])
+            ends = np.concatenate([idx, [len(bk)]])
         sizes = ends - starts
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        small = (sizes >= 2) & (sizes <= full_max)
+        for s in np.unique(sizes[small]):
+            g_starts = starts[small & (sizes == s)]
+            # (g, s) matrix of each group's sorted unique ids
+            m = ids[g_starts[:, None] + np.arange(s)]
+            iu, ju = np.triu_indices(int(s), 1)
+            a_parts.append(m[:, iu].ravel())
+            b_parts.append(m[:, ju].ravel())
         a_out: list[int] = []
         b_out: list[int] = []
-        for gi in np.flatnonzero(sizes >= 2):
-            s, e = starts[gi], ends[gi]
-            uids = np.unique(ids[s:e])
-            if len(uids) < 2:
-                continue
+        for gi in np.flatnonzero(sizes > full_max):
             pairs, _salted, _trunc = band_group_candidates(
-                uids, salt_threshold, salt_buckets, pair_cap)
+                ids[starts[gi]:ends[gi]], salt_threshold, salt_buckets,
+                pair_cap)
             a_out.extend(p[0] for p in pairs)
             b_out.extend(p[1] for p in pairs)
+        if a_out:
+            a_parts.append(np.array(a_out, dtype=np.int64))
+            b_parts.append(np.array(b_out, dtype=np.int64))
+        a_all = np.concatenate(a_parts) if a_parts else \
+            np.empty(0, dtype=np.int64)
+        b_all = np.concatenate(b_parts) if b_parts else \
+            np.empty(0, dtype=np.int64)
         return pa.table({
-            "a": pa.array(a_out, type=pa.int64()),
-            "b": pa.array(b_out, type=pa.int64()),
+            "a": pa.array(a_all, type=pa.int64()),
+            "b": pa.array(b_all, type=pa.int64()),
         })
 
     raw = (
@@ -125,6 +161,8 @@ def candidate_pairs(
         .groupby("pkey")
         .map_groups(partition_pairs, batch_format="pyarrow")
     )
+    if not dedupe:
+        return raw, metrics
     return dedupe_pairs(raw, num_partitions), metrics
 
 

@@ -210,6 +210,7 @@ class JaccardVerifier:
 def verify_pairs(
     pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
     batch_size: int = 2048, num_partitions: int = 32,
+    pre_deduped: bool = True,
 ) -> Dataset:
     """Candidate pairs → verified near-duplicate edges (a,b).
 
@@ -224,13 +225,22 @@ def verify_pairs(
       shuffle that collapsed the stage at 240k docs.
     - larger: two-sided hash joins (attach_texts) + a verify map.
 
+    ``pre_deduped=False`` means the caller skipped the pair-dedup
+    shuffle (flagship: the broadcast path dedups driver-side for free
+    while building its index; the large path restores the shuffle).
+
     The verifier runs as plain tasks (warm-worker reuse, elastic
     parallelism); see the process-cache note in stages/signatures.py
     for when an actor pool is the right shape."""
     pairs = pairs.materialize()
     if pairs.count() <= BROADCAST_PAIRS_MAX:
         return _verify_broadcast(pairs, docs, cfg, batch_size,
-                                 num_partitions)
+                                 num_partitions,
+                                 pre_deduped=pre_deduped)
+
+    if not pre_deduped:
+        from hyrise_generalized_dedup_ray.stages.lsh import dedupe_pairs
+        pairs = dedupe_pairs(pairs, num_partitions).materialize()
 
     with_texts = attach_texts(pairs, docs, num_partitions)
 
@@ -247,6 +257,7 @@ def verify_pairs(
 def _verify_broadcast(
     pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
     batch_size: int, num_partitions: int,
+    pre_deduped: bool = True,
 ) -> Dataset:
     """Fused attach+verify (see :func:`verify_pairs`): ONE
     hash-partition groupby over the union of pair rows and
@@ -262,6 +273,15 @@ def _verify_broadcast(
         {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
+    if not pre_deduped and len(a):
+        # pairs are already ON the driver for the index build — dedup
+        # here costs one lexsort instead of the whole dedupe_pairs
+        # all-to-all the flagship used to pay
+        order0 = np.lexsort((b, a))
+        a, b = a[order0], b[order0]
+        keep0 = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        a, b = a[keep0], b[keep0]
     # Partition count: this path is a SORT shuffle + map_groups, not a
     # Dataset.join — no per-partition aggregator actors — so the
     # join_partition_cap reasoning doesn't apply.  The caller's
