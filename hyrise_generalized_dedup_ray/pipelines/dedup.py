@@ -251,6 +251,17 @@ def dedup_pages(
     result = _attach_labels(universe, labels, join_partitions).materialize()
     metrics["t_cluster_s"] = round(time.perf_counter() - t2, 3)
     metrics["t_total_s"] = round(time.perf_counter() - t0, 3)
+
+    # feed the meta_exec/meta_log virtual tables (reference analog:
+    # operators report runtimes to meta_exec_table.hpp:13)
+    from hyrise_generalized_dedup_ray.state import execlog
+
+    for k, v in metrics.items():
+        if k.startswith("t_") and k.endswith("_s"):
+            execlog.record_exec(f"dedup.{k[2:-2]}", v,
+                                metrics.get("docs", -1))
+    execlog.log(f"dedup_pages: {metrics['docs']} docs, "
+                f"{metrics['edges']} edges, {metrics['t_total_s']}s")
     return result, metrics
 
 

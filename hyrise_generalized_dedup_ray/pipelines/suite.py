@@ -21,9 +21,10 @@ from datetime import datetime
 
 from hyrise_generalized_dedup_ray import relational as R
 from hyrise_generalized_dedup_ray.relational import (
-    agg, aggregate, anti_join, between, case, cast, col, concat, distinct,
-    extract, hash_join, in_, like, limit, lit, load_table, product, projection,
-    round_, semi_join, substr, table_scan, top_k, trunc, union_all,
+    agg, aggregate, alias, anti_join, between, case, cast, col, concat,
+    distinct, extract, hash_join, in_, like, limit, lit, load_table, neg,
+    product, projection, round_, semi_join, substr, table_scan, top_k, trunc,
+    union_all,
 )
 
 I64 = pa.int64()
@@ -94,6 +95,19 @@ def scalar_functions(sf_dir: str):
                      else_=lit("high")),
         "bal_int": cast(trunc(col("c_acctbal")), I64),
     })
+
+
+def alias_unary_minus(sf_dir: str):
+    """AliasOperator rename/reorder + UnaryMinusExpression
+    (alias_operator.hpp:11, unary_minus_expression.hpp:10)."""
+    c = load_table(sf_dir, "customer",
+                   columns=["c_custkey", "c_acctbal", "c_nationkey"])
+    p = projection(c, {
+        "c_custkey": "c_custkey",
+        "neg_bal_c": _e_int(neg(col("c_acctbal"))),
+        "c_nationkey": "c_nationkey",
+    })
+    return alias(p, {"c_custkey": "k", "c_nationkey": "nk"})
 
 
 def extract_groupby(sf_dir: str):
@@ -623,6 +637,152 @@ def meta_segments(sf_dir: str):
                      "n_cols": pa.array(nc, type=I64)})
 
 
+def meta_segments_accurate(sf_dir: str):
+    """meta_segments_accurate analog (§2.11,
+    src/lib/utils/meta_tables/meta_segments_accurate_table.hpp:15): one
+    row per (table, row group, column) — the column-chunk-level storage
+    introspection the reference computes by walking every segment.  We
+    read it from Parquet footers (num_values + exact compressed/
+    uncompressed byte sizes per column chunk); metadata-only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hyrise_generalized_dedup_ray.relational.catalog import TABLES
+
+    tn, rg, cn, nv, cb, ub = [], [], [], [], [], []
+    for t in TABLES:
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata
+        for i in range(md.num_row_groups):
+            g = md.row_group(i)
+            for j in range(g.num_columns):
+                c = g.column(j)
+                tn.append(t)
+                rg.append(i)
+                cn.append(c.path_in_schema)
+                nv.append(c.num_values)
+                cb.append(c.total_compressed_size)
+                ub.append(c.total_uncompressed_size)
+    return pa.table({"table_name": pa.array(tn),
+                     "row_group_id": pa.array(rg, type=I64),
+                     "column_name": pa.array(cn),
+                     "n_values": pa.array(nv, type=I64),
+                     "compressed_bytes": pa.array(cb, type=I64),
+                     "uncompressed_bytes": pa.array(ub, type=I64)})
+
+
+def meta_chunks(sf_dir: str):
+    """meta_chunks analog (§2.11, meta_chunks_table.hpp:15): one row
+    per (table, chunk).  Hyrise reports row counts plus MVCC
+    invalid-row/cleanup info per chunk; without MVCC the immutable
+    Parquet analog is (rows, columns, file ordinal), metadata-only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hyrise_generalized_dedup_ray.relational.catalog import TABLES
+
+    tn, ck, nr, nc = [], [], [], []
+    for t in TABLES:
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata
+        for i in range(md.num_row_groups):
+            tn.append(t)
+            ck.append(i)
+            nr.append(md.row_group(i).num_rows)
+            nc.append(md.num_columns)
+    return pa.table({"table_name": pa.array(tn),
+                     "chunk_id": pa.array(ck, type=I64),
+                     "n_rows": pa.array(nr, type=I64),
+                     "n_cols": pa.array(nc, type=I64)})
+
+
+def meta_chunk_sort_orders(sf_dir: str):
+    """meta_chunk_sort_orders analog (§2.11,
+    meta_chunk_sort_orders_table.hpp:14): the reference reports, per
+    chunk, which column it is value-clustered/sorted by.  The Parquet
+    analog is the row group's declared ``sorting_columns`` footer field
+    (empty → 'unsorted', matching Hyrise's default of no sort order).
+    Runtime/layout-dependent content → rows-only check, like the
+    reference's table which reads live storage state."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hyrise_generalized_dedup_ray.relational.catalog import TABLES
+
+    tn, ck, so = [], [], []
+    for t in TABLES:
+        f = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet"))
+        md = f.metadata
+        names = f.schema_arrow.names
+        for i in range(md.num_row_groups):
+            cols = md.row_group(i).sorting_columns or []
+            tn.append(t)
+            ck.append(i)
+            so.append(",".join(names[c.column_index] for c in cols)
+                      if cols else "unsorted")
+    return pa.table({"table_name": pa.array(tn),
+                     "chunk_id": pa.array(ck, type=I64),
+                     "sort_order": pa.array(so)})
+
+
+def meta_exec(sf_dir: str):
+    """meta_exec analog (§2.11, meta_exec_table.hpp:13): one row per
+    recorded stage/operator execution (name, wall seconds, output
+    rows), fed by the pipelines' execlog hooks.  Ensures at least one
+    entry by timing a catalog count.  Runtime-dependent → rows-only."""
+    import time as _time
+
+    from hyrise_generalized_dedup_ray.state import execlog
+
+    t0 = _time.perf_counter()
+    n = load_table(sf_dir, "region").count()
+    execlog.record_exec("get_table.region", _time.perf_counter() - t0, n)
+    items, secs, rows = zip(*execlog.exec_rows())
+    return pa.table({"item_name": pa.array(list(items)),
+                     "wall_s": pa.array([round(s, 6) for s in secs],
+                                        type=pa.float64()),
+                     "rows_out": pa.array(list(rows), type=I64)})
+
+
+def meta_log(sf_dir: str):
+    """meta_log analog (§2.11, meta_log_table.hpp:14): timestamped
+    engine event messages.  Runtime-dependent → rows-only."""
+    from hyrise_generalized_dedup_ray.state import execlog
+
+    execlog.log(f"meta_log scan over {sf_dir}")
+    ts, lvl, msg = zip(*execlog.log_rows())
+    return pa.table({"ts_mono": pa.array(list(ts), type=pa.float64()),
+                     "level": pa.array(list(lvl)),
+                     "message": pa.array(list(msg))})
+
+
+def meta_system_utilization(sf_dir: str):
+    """meta_system_utilization analog (§2.11,
+    meta_system_utilization_table.hpp:15): live CPU/memory utilization
+    read from /proc, one (key, value) row each — same source the
+    reference uses.  Host-dependent → rows-only."""
+    import os
+
+    with open("/proc/stat") as f:
+        jiff = [int(x) for x in f.readline().split()[1:9]]
+    meminfo = {}
+    with open("/proc/meminfo") as f:
+        for line in f:
+            k, v = line.split(":", 1)
+            meminfo[k] = int(v.split()[0]) * 1024
+    busy = sum(jiff) - jiff[3]
+    rows = [
+        ("cpu_busy_jiffies", str(busy)),
+        ("cpu_idle_jiffies", str(jiff[3])),
+        ("load_avg_1m", str(os.getloadavg()[0])),
+        ("system_memory_total_bytes", str(meminfo.get("MemTotal", 0))),
+        ("system_memory_available_bytes", str(meminfo.get("MemAvailable", 0))),
+    ]
+    k, v = zip(*rows)
+    return pa.table({"key": pa.array(list(k)), "value": pa.array(list(v))})
+
+
 _SQL_TYPE_NAMES = {
     "int32": "INTEGER", "int64": "BIGINT", "float": "FLOAT",
     "double": "DOUBLE", "string": "VARCHAR", "large_string": "VARCHAR",
@@ -734,6 +894,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_scan": filter_project_scan,
     "scalar_functions": scalar_functions,
+    "alias_unary_minus": alias_unary_minus,
     "extract_groupby": extract_groupby,
     "like_in_between_scan": like_in_between_scan,
     "top_k_orders": top_k_orders,
@@ -771,6 +932,12 @@ QUERIES = {
     "not_exists_correlated": not_exists_correlated,
     "range_join_events": range_join_events,
     "meta_segments": meta_segments,
+    "meta_segments_accurate": meta_segments_accurate,
+    "meta_chunks": meta_chunks,
+    "meta_chunk_sort_orders": meta_chunk_sort_orders,
+    "meta_exec": meta_exec,
+    "meta_log": meta_log,
+    "meta_system_utilization": meta_system_utilization,
     "meta_columns": meta_columns,
     "meta_tables": meta_tables,
     "meta_settings": meta_settings,
@@ -807,6 +974,12 @@ ORACLE_SQL = {
                CASE WHEN c_acctbal < 0 THEN 'neg'
                     WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
                CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_int
+        FROM customer
+    """,
+    "alias_unary_minus": """
+        SELECT c_custkey AS k,
+               CAST(ROUND(-c_acctbal*100) AS BIGINT) AS neg_bal_c,
+               c_nationkey AS nk
         FROM customer
     """,
     "extract_groupby": """
@@ -946,6 +1119,26 @@ ORACLE_SQL = {
                  CAST(MAX(row_group_num_rows) AS BIGINT) AS n_rows,
                  CAST(SUM(total_uncompressed_size) AS BIGINT) AS n_bytes,
                  CAST(COUNT(*) AS BIGINT) AS n_cols
+          FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+          GROUP BY file_name, row_group_id)
+    """,
+    "meta_segments_accurate": """
+        SELECT regexp_extract(file_name, '([a-z]+)\\.parquet$', 1)
+                 AS table_name,
+               CAST(row_group_id AS BIGINT) AS row_group_id,
+               replace(path_in_schema, ', ', '.') AS column_name,
+               CAST(num_values AS BIGINT) AS n_values,
+               CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+               CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+        FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+    """,
+    "meta_chunks": """
+        SELECT table_name, chunk_id, n_rows, n_cols FROM (
+          SELECT regexp_extract(file_name, '([a-z]+)\\.parquet$', 1)
+                   AS table_name,
+                 CAST(row_group_id AS BIGINT) AS chunk_id,
+                 CAST(MAX(row_group_num_rows) AS BIGINT) AS n_rows,
+                 CAST(MAX(row_group_num_columns) AS BIGINT) AS n_cols
           FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
           GROUP BY file_name, row_group_id)
     """,
