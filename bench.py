@@ -127,10 +127,29 @@ def _warm_workers(num_cpus: int) -> None:
      .materialize())
 
 
+def _pin_cpus(num_cpus: int) -> None:
+    """Bind this process (and every Ray process it spawns) to
+    ``num_cpus`` PHYSICAL cores.
+
+    ``ray.init(num_cpus=8)`` only limits the scheduler's logical slots;
+    the process tree still runs on all host cores — Arrow/numpy
+    internal threads, the object store and raylet borrow the idle 24,
+    so the "small cluster" leg of the scaling proxy overstates its
+    throughput (measured: the exact-dup branch ran FASTER under
+    num_cpus=8 than 32).  An N-node cluster has N×cores of hardware,
+    so the faithful two-cluster-size emulation pins the affinity mask
+    to match the slot count; children (raylet, workers) inherit it."""
+    try:
+        os.sched_setaffinity(0, range(num_cpus))
+    except (AttributeError, OSError):
+        pass  # non-Linux or restricted: fall back to slot-only limiting
+
+
 def bench_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
                pages_fixture: int = 0) -> dict:
     import ray
 
+    _pin_cpus(num_cpus)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     try:

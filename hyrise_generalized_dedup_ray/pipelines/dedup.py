@@ -96,21 +96,30 @@ def _edge_branches(
     under tight CPU budgets; three independent executors cannot)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    docs = signatures.select_columns(["doc_id", "text"])
+    # the fused verify exchange melts doc_id/text straight out of the
+    # materialized signer blocks — no select_columns projection pass
+    docs = signatures
+
+    # exchange width follows the CLUSTER (stages/exchange: shard count
+    # is a task/object-count trade, not a data-layout property) — the
+    # docs-derived `num_partitions` only caps it for tiny corpora
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    xp = min(num_partitions, max(4, 2 * cluster_cpus))
 
     def run_exact() -> Dataset:
         t = time.perf_counter()
-        ds = exact_dup_edges(signatures, num_partitions).materialize()
+        ds = exact_dup_edges(signatures, xp).materialize()
         metrics["t_exact_s"] = round(time.perf_counter() - t, 3)
         return ds
 
     def run_lsh_verify() -> Dataset:
         t = time.perf_counter()
-        # dedupe=False: the verifier's broadcast path dedups pairs
-        # driver-side while building its index — one less all-to-all
-        # (and one less materialize barrier) on the chain
-        pairs, lsh_metrics = candidate_pairs(signatures, eng,
-                                             num_partitions, dedupe=False)
+        # dedupe=True: the distributed pair dedup runs as one cheap
+        # exchange over 16-byte rows, so the driver-side collect in the
+        # verifier's broadcast path only ever sees unique pairs (the
+        # raw LSH pair stream is ~10× larger on boilerplate corpora)
+        pairs, lsh_metrics = candidate_pairs(signatures, eng, xp,
+                                             dedupe=True)
         pairs = pairs.materialize()
         metrics.update(lsh_metrics)
         metrics["n_candidate_rows"] = pairs.count()
@@ -119,7 +128,7 @@ def _edge_branches(
         near = verify_pairs(pairs, docs, cfg,
                             batch_size=eng.verify_batch_size,
                             num_partitions=join_partitions,
-                            pre_deduped=False).materialize()
+                            pre_deduped=True).materialize()
         metrics["t_verify_s"] = round(time.perf_counter() - t2, 3)
         return near
 

@@ -8,23 +8,41 @@ the verdict is the exact Jaccard of the true shingle sets, recomputed
 from text inside the stage (shipping shingle *sets* through the
 shuffle would dwarf the text itself — SURVEY.md §7.5).
 
-Pair → text lookup is a hash-shuffle `Dataset.join` on doc_id (both
-sides large in general); a per-batch memo avoids re-shingling a text
-that appears in many pairs of the same batch.
+All wide steps run on :mod:`stages.exchange` (hash exchange: one
+compact move per row, no sort-shuffle coordination); texts ship at
+most once per shard via the fused melt pattern.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
+import ray
 from ray.data import Dataset
 
 from hyrise_generalized_dedup_ray.config import SignatureConfig
+from hyrise_generalized_dedup_ray.functions.grouping import (
+    partition_ids,
+    sort_groups,
+)
+from hyrise_generalized_dedup_ray.functions.hashing import mix2
 from hyrise_generalized_dedup_ray.functions.text import (
     batch_shingles,
     jaccard_sorted,
-    unique_shingle_sets,
 )
+from hyrise_generalized_dedup_ray.stages.exchange import (
+    count_rows,
+    hash_exchange_refs,
+    split_by_key,
+)
+
+_I64 = pa.int64()
+_PAIR_SCHEMA = pa.schema([("a", _I64), ("b", _I64)])
+_VERIFY_SCHEMA = pa.schema([("pkey", _I64), ("kind", _I64), ("a", _I64),
+                            ("b", _I64), ("doc_id", _I64),
+                            ("text", pa.string())])
 
 
 # pairs up to this many rows ride the broadcast attach path (~64 bytes
@@ -43,9 +61,9 @@ def attach_texts(
 
     - pairs ≤ ``BROADCAST_PAIRS_MAX``: broadcast the pair MEMBERSHIP
       INDEX (sorted doc→(pair,slot) arrays, built once), melt texts
-      against it in a map over docs, and pivot with ONE hash-partition
-      groupby — no join aggregator actors, and only texts that appear
-      in some pair ever cross the shuffle.
+      against it in a map over docs, and pivot with ONE hash exchange
+      — no join aggregator actors, and only texts that appear in some
+      pair ever cross the shuffle.
     - larger: two hash-shuffle ``Dataset.join``s, fan-out from the
       caller's cluster-derived ``num_partitions`` (a hard cap here
       would freeze the pipeline's widest data movement at one node's
@@ -80,15 +98,11 @@ def _attach_texts_broadcast(
 ) -> Dataset:
     """Broadcast-index attach (see :func:`attach_texts`): one map over
     docs emits (pair, slot, a, b, text) rows for every pair membership,
-    then one hash-partition groupby pivots the two slots together."""
-    import ray
-
-    from hyrise_generalized_dedup_ray.functions.grouping import (
-        partition_ids, sort_groups)
+    then one hash exchange pivots the two slots together."""
+    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
 
     tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
-    pt = pa.concat_tables(tables) if tables else pa.table(
-        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    pt = pa.concat_tables(tables) if tables else _PAIR_SCHEMA.empty_table()
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
     n = len(a)
@@ -116,13 +130,11 @@ def _attach_texts_broadcast(
         pos = np.arange(total) + np.repeat(lo - excl, cnt)
         pidx = mp[pos]
         return pa.table({
-            "pair": pa.array(pidx, type=pa.int64()),
-            "slot": pa.array(ms[pos], type=pa.int64()),
-            "a": pa.array(st["a"][pidx], type=pa.int64()),
-            "b": pa.array(st["b"][pidx], type=pa.int64()),
+            "pair": pa.array(pidx, type=_I64),
+            "slot": pa.array(ms[pos], type=_I64),
+            "a": pa.array(st["a"][pidx], type=_I64),
+            "b": pa.array(st["b"][pidx], type=_I64),
             "text": batch.column("text").take(pa.array(doc_rows)),
-            "pkey": pa.array(partition_ids(pidx, num_partitions),
-                             type=pa.int64()),
         })
 
     def pivot(part: pa.Table) -> pa.Table:
@@ -142,9 +154,17 @@ def _attach_texts_broadcast(
             "text_b": part.column("text").take(pa.array(r1)),
         })
 
-    melted = docs.map_batches(melt, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return melted.groupby("pkey").map_groups(pivot, batch_format="pyarrow")
+    melt_schema = pa.schema([("pair", _I64), ("slot", _I64), ("a", _I64),
+                             ("b", _I64), ("text", pa.string())])
+    refs = hash_exchange_refs(
+        docs.to_arrow_refs(), melt, "pair", pivot, num_partitions,
+        melt_schema)
+    if not refs:
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], type=_I64), "b": pa.array([], type=_I64),
+             "text_a": pa.array([], type=pa.string()),
+             "text_b": pa.array([], type=pa.string())}))
+    return ray.data.from_arrow_refs(refs)
 
 
 # per-worker-process shingle-set cache: a hot document (boilerplate,
@@ -207,6 +227,101 @@ class JaccardVerifier:
         })
 
 
+def _melt_pair_texts(block: pa.Table, ref, P: int) -> pa.Table:
+    """Melt each doc's text toward the shards of the pairs it belongs
+    to, deduped per (doc, shard)."""
+    st = ray.get(ref)
+    md, mpk = st["md"], st["mpk"]
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(md, ids, "left")
+    hi = np.searchsorted(md, ids, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    doc_rows = np.repeat(np.arange(len(ids)), cnt)
+    excl = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) else \
+        np.empty(0, dtype=np.int64)
+    pos = np.arange(total) + np.repeat(lo - excl, cnt)
+    pks = mpk[pos]
+    # dedup (doc, shard): ship each text once per shard
+    key = doc_rows * np.int64(P) + pks
+    keep = np.zeros(total, dtype=bool)
+    if total:
+        o2 = np.argsort(key, kind="stable")
+        ks = key[o2]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        keep[o2[first]] = True
+    doc_rows, pks = doc_rows[keep], pks[keep]
+    m = len(doc_rows)
+    return pa.table({
+        "pkey": pa.array(pks, type=_I64),
+        "kind": pa.array(np.ones(m, dtype=np.int64), type=_I64),
+        "a": pa.nulls(m, type=_I64),
+        "b": pa.nulls(m, type=_I64),
+        "doc_id": pa.array(ids[doc_rows], type=_I64),
+        "text": block.column("text").take(pa.array(doc_rows)),
+    }, schema=_VERIFY_SCHEMA)
+
+
+def _verify_kernel(part: pa.Table, cfg: SignatureConfig,
+                   batch_size: int) -> pa.Table:
+    """One shard of pair rows (kind=0) + per-shard-deduped text rows
+    (kind=1) → verified near-dup edges."""
+    kind = part.column("kind").to_numpy(zero_copy_only=False)
+    pair_idx = np.flatnonzero(kind == 0)
+    doc_idx = np.flatnonzero(kind == 1)
+    if len(pair_idx) == 0 or len(doc_idx) == 0:
+        return _PAIR_SCHEMA.empty_table()
+    dids = part.column("doc_id").to_numpy(
+        zero_copy_only=False)[doc_idx].astype(np.int64)
+    dorder = np.argsort(dids, kind="stable")
+    dids_sorted = dids[dorder]
+    texts = part.column("text").take(pa.array(doc_idx[dorder]))
+    pa_ids = part.column("a").to_numpy(
+        zero_copy_only=False)[pair_idx].astype(np.int64)
+    pb_ids = part.column("b").to_numpy(
+        zero_copy_only=False)[pair_idx].astype(np.int64)
+
+    def lookup(x):
+        pos = np.searchsorted(dids_sorted, x)
+        pos_c = np.minimum(pos, len(dids_sorted) - 1)
+        ok = dids_sorted[pos_c] == x
+        return pos_c, ok
+
+    la, oka = lookup(pa_ids)
+    lb, okb = lookup(pb_ids)
+    ok = oka & okb
+    la, lb = la[ok], lb[ok]
+    pa_ok, pb_ok = pa_ids[ok], pb_ids[ok]
+    # Chunked per-pair verification with the bounded process-level
+    # shingle cache (JaccardVerifier).  A partition-wide
+    # "shingle every unique doc once" kernel sounds strictly
+    # better, but its working set is the whole partition
+    # (~100 MB of texts + sets) of FRESH allocations per task —
+    # measured 10-25× slower here than this form, whose per-chunk
+    # working set (~10 MB) recycles the worker's heap pages and
+    # whose cache carries hot docs across partitions.
+    verifier = JaccardVerifier(cfg)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s in range(0, len(pa_ok), batch_size):
+        e = s + batch_size
+        chunk = pa.table({
+            "a": pa.array(pa_ok[s:e], type=_I64),
+            "b": pa.array(pb_ok[s:e], type=_I64),
+            "text_a": texts.take(pa.array(la[s:e])),
+            "text_b": texts.take(pa.array(lb[s:e])),
+        })
+        res = verifier(chunk)
+        out_a.append(res.column("a").to_numpy(zero_copy_only=False))
+        out_b.append(res.column("b").to_numpy(zero_copy_only=False))
+    return pa.table({
+        "a": pa.array(np.concatenate(out_a) if out_a else
+                      np.empty(0, dtype=np.int64), type=_I64),
+        "b": pa.array(np.concatenate(out_b) if out_b else
+                      np.empty(0, dtype=np.int64), type=_I64),
+    })
+
+
 def verify_pairs(
     pairs: Dataset, docs: Dataset, cfg: SignatureConfig,
     batch_size: int = 2048, num_partitions: int = 32,
@@ -218,8 +333,8 @@ def verify_pairs(
 
     - pairs ≤ ``BROADCAST_PAIRS_MAX``: FUSED attach+verify — pairs are
       hash-partitioned, each doc's text is shipped AT MOST ONCE PER
-      PARTITION (not once per pair!), and the partition kernel looks
-      texts up locally and Jaccard-verifies in place.  A hot
+      SHARD (not once per pair!), and the exchange's reduce kernel
+      looks texts up locally and Jaccard-verifies in place.  A hot
       boilerplate doc appearing in hundreds of candidate pairs was
       otherwise replicated per pair — measured as a multi-GB text
       shuffle that collapsed the stage at 240k docs.
@@ -227,11 +342,7 @@ def verify_pairs(
 
     ``pre_deduped=False`` means the caller skipped the pair-dedup
     shuffle (flagship: the broadcast path dedups driver-side for free
-    while building its index; the large path restores the shuffle).
-
-    The verifier runs as plain tasks (warm-worker reuse, elastic
-    parallelism); see the process-cache note in stages/signatures.py
-    for when an actor pool is the right shape."""
+    while building its index; the large path restores the shuffle)."""
     pairs = pairs.materialize()
     if pairs.count() <= BROADCAST_PAIRS_MAX:
         return _verify_broadcast(pairs, docs, cfg, batch_size,
@@ -259,18 +370,11 @@ def _verify_broadcast(
     batch_size: int, num_partitions: int,
     pre_deduped: bool = True,
 ) -> Dataset:
-    """Fused attach+verify (see :func:`verify_pairs`): ONE
-    hash-partition groupby over the union of pair rows and
-    per-(doc, partition)-deduplicated text rows."""
-    import ray
-
-    from hyrise_generalized_dedup_ray.functions.grouping import (
-        partition_ids, sort_groups)
-    from hyrise_generalized_dedup_ray.functions.hashing import mix2
-
+    """Fused attach+verify (see :func:`verify_pairs`): ONE hash
+    exchange over per-shard pair seeds and per-(doc, shard)-
+    deduplicated text rows."""
     tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
-    pt = pa.concat_tables(tables) if tables else pa.table(
-        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    pt = pa.concat_tables(tables) if tables else _PAIR_SCHEMA.empty_table()
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
     if not pre_deduped and len(a):
@@ -282,192 +386,117 @@ def _verify_broadcast(
         keep0 = np.concatenate(
             [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         a, b = a[keep0], b[keep0]
-    # Partition count: this path is a SORT shuffle + map_groups, not a
-    # Dataset.join — no per-partition aggregator actors — so the
-    # join_partition_cap reasoning doesn't apply.  The caller's
-    # ``num_partitions`` is only a floor; width follows pairs volume
-    # (~2k pairs / kernel task) and cluster CPUs, because map_groups
-    # parallelism is bounded by the number of distinct pkey values:
-    # 16 groups on 32 CPUs ran the partition kernels near-serially.
+    # Width follows pairs volume (~2k pairs / kernel task) and cluster
+    # CPUs, floored by the caller's ``num_partitions`` — kernel
+    # parallelism is bounded by the shard count: 16 shards on 32 CPUs
+    # ran the kernels near-serially.
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = int(np.clip(len(a) // 2000, max(4, num_partitions, 2 * cpus),
-                    8 * cpus))
+    P = int(np.clip(len(a) // 20000, max(4, num_partitions, 2 * cpus),
+                    4 * cpus))
     pk = partition_ids(mix2(a.view(np.uint64), b.view(np.uint64)), P)
     n = len(a)
 
-    i64, s_ = pa.int64(), pa.string()
-    schema = pa.schema([("pkey", i64), ("kind", i64), ("a", i64),
-                        ("b", i64), ("doc_id", i64), ("text", s_)])
-    pair_rows = ray.data.from_arrow(pa.table({
-        "pkey": pa.array(pk, type=i64),
-        "kind": pa.array(np.zeros(n, dtype=np.int64), type=i64),
-        "a": pa.array(a, type=i64),
-        "b": pa.array(b, type=i64),
-        "doc_id": pa.nulls(n, type=i64),
-        "text": pa.nulls(n, type=s_),
-    }, schema=schema))
+    pair_table = pa.table({
+        "pkey": pa.array(pk, type=_I64),
+        "kind": pa.array(np.zeros(n, dtype=np.int64), type=_I64),
+        "a": pa.array(a, type=_I64),
+        "b": pa.array(b, type=_I64),
+        "doc_id": pa.nulls(n, type=_I64),
+        "text": pa.nulls(n, type=pa.string()),
+    }, schema=_VERIFY_SCHEMA)
+    seed_shards = split_by_key(pair_table, pk, P, key_is_shard=True)
 
     member_doc = np.concatenate([a, b])
     member_pk = np.concatenate([pk, pk])
     order = np.argsort(member_doc, kind="stable")
     ref = ray.put({"md": member_doc[order], "mpk": member_pk[order]})
 
-    def melt_texts(batch: pa.Table) -> pa.Table:
-        st = ray.get(ref)
-        md, mpk = st["md"], st["mpk"]
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(md, ids, "left")
-        hi = np.searchsorted(md, ids, "right")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        doc_rows = np.repeat(np.arange(len(ids)), cnt)
-        excl = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) else \
-            np.empty(0, dtype=np.int64)
-        pos = np.arange(total) + np.repeat(lo - excl, cnt)
-        pks = mpk[pos]
-        # dedup (doc, partition): ship each text once per partition
-        key = doc_rows * np.int64(P) + pks
-        keep = np.zeros(total, dtype=bool)
-        if total:
-            o2 = np.argsort(key, kind="stable")
-            ks = key[o2]
-            first = np.concatenate([[True], ks[1:] != ks[:-1]])
-            keep[o2[first]] = True
-        doc_rows, pks = doc_rows[keep], pks[keep]
-        m = len(doc_rows)
-        return pa.table({
-            "pkey": pa.array(pks, type=i64),
-            "kind": pa.array(np.ones(m, dtype=np.int64), type=i64),
-            "a": pa.nulls(m, type=i64),
-            "b": pa.nulls(m, type=i64),
-            "doc_id": pa.array(ids[doc_rows], type=i64),
-            "text": batch.column("text").take(pa.array(doc_rows)),
-        }, schema=schema)
+    refs = hash_exchange_refs(
+        docs.to_arrow_refs(),
+        functools.partial(_melt_pair_texts, ref=ref, P=P),
+        "pkey",
+        functools.partial(_verify_kernel, cfg=cfg, batch_size=batch_size),
+        P, _VERIFY_SCHEMA, seed_shards=seed_shards, key_is_shard=True)
+    if not refs:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(refs)
 
-    text_rows = docs.map_batches(melt_texts, batch_format="pyarrow",
-                                 zero_copy_batch=True)
 
-    def verify_partition(part: pa.Table) -> pa.Table:
-        kind = part.column("kind").to_numpy(zero_copy_only=False)
-        is_pair = kind == 0
-        pair_idx = np.flatnonzero(is_pair)
-        doc_idx = np.flatnonzero(~is_pair)
-        if len(pair_idx) == 0 or len(doc_idx) == 0:
-            return pa.table({"a": pa.array([], type=i64),
-                             "b": pa.array([], type=i64)})
-        dids = part.column("doc_id").to_numpy(
-            zero_copy_only=False)[doc_idx].astype(np.int64)
-        dorder = np.argsort(dids, kind="stable")
-        dids_sorted = dids[dorder]
-        texts = part.column("text").take(pa.array(doc_idx[dorder]))
-        pa_ids = part.column("a").to_numpy(
-            zero_copy_only=False)[pair_idx].astype(np.int64)
-        pb_ids = part.column("b").to_numpy(
-            zero_copy_only=False)[pair_idx].astype(np.int64)
+def _melt_exact_candidates(block: pa.Table, ref) -> pa.Table:
+    """Melt candidate texts out of signer blocks: docs present in the
+    broadcast candidate index ship (pkey, text_hash, doc_id, text)."""
+    st = ray.get(ref)
+    md = st["md"]
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(md, ids)
+    pos_c = np.minimum(pos, len(md) - 1) if len(md) else \
+        np.zeros(len(ids), dtype=np.int64)
+    found = (md[pos_c] == ids) if len(md) else np.zeros(len(ids), dtype=bool)
+    rows = np.flatnonzero(found)
+    pos_f = pos_c[rows]
+    return pa.table({
+        "pkey": pa.array(st["mpk"][pos_f], type=_I64),
+        "text_hash": pa.array(st["mth"][pos_f], type=_I64),
+        "doc_id": pa.array(ids[rows], type=_I64),
+        "text": block.column("text").take(pa.array(rows)),
+    })
 
-        def lookup(x):
-            pos = np.searchsorted(dids_sorted, x)
-            pos_c = np.minimum(pos, len(dids_sorted) - 1)
-            ok = dids_sorted[pos_c] == x
-            return pos_c, ok
 
-        la, oka = lookup(pa_ids)
-        lb, okb = lookup(pb_ids)
-        ok = oka & okb
-        la, lb = la[ok], lb[ok]
-        pa_ok, pb_ok = pa_ids[ok], pb_ids[ok]
-        # Chunked per-pair verification with the bounded process-level
-        # shingle cache (JaccardVerifier).  A partition-wide
-        # "shingle every unique doc once" kernel sounds strictly
-        # better, but its working set is the whole partition
-        # (~100 MB of texts + sets) of FRESH allocations per task —
-        # measured 10-25× slower here than this form, whose per-chunk
-        # working set (~10 MB) recycles the worker's heap pages and
-        # whose cache carries hot docs across partitions.
-        verifier = JaccardVerifier(cfg)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for s in range(0, len(pa_ok), batch_size):
-            e = s + batch_size
-            chunk = pa.table({
-                "a": pa.array(pa_ok[s:e], type=i64),
-                "b": pa.array(pb_ok[s:e], type=i64),
-                "text_a": texts.take(pa.array(la[s:e])),
-                "text_b": texts.take(pa.array(lb[s:e])),
-            })
-            res = verifier(chunk)
-            out_a.append(res.column("a").to_numpy(zero_copy_only=False))
-            out_b.append(res.column("b").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "a": pa.array(np.concatenate(out_a) if out_a else
-                          np.empty(0, dtype=np.int64), type=i64),
-            "b": pa.array(np.concatenate(out_b) if out_b else
-                          np.empty(0, dtype=np.int64), type=i64),
-        })
+_EXACT_MELT_SCHEMA = pa.schema([("pkey", _I64), ("text_hash", _I64),
+                                ("doc_id", _I64), ("text", pa.string())])
 
-    return (
-        pair_rows.union(text_rows)
-        .groupby("pkey")
-        .map_groups(verify_partition, batch_format="pyarrow")
-    )
+
+def _exact_members_map(block: pa.Table) -> pa.Table:
+    return pa.table({
+        "text_hash": block.column("text_hash"),
+        "doc_id": block.column("doc_id"),
+    })
+
+
+def _exact_members_kernel(part: pa.Table) -> pa.Table:
+    th = part.column("text_hash").to_numpy(zero_copy_only=False)
+    ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+    order, starts, ends = sort_groups((th,), order_by=(ids,))
+    th, ids = th[order], ids[order]
+    sizes = ends - starts
+    keep = np.repeat(sizes >= 2, sizes) if len(sizes) else \
+        np.empty(0, dtype=bool)
+    return pa.table({
+        "text_hash": pa.array(th[keep], type=_I64),
+        "doc_id": pa.array(ids[keep], type=_I64),
+    })
+
+
+_EXACT_MEMBERS_SCHEMA = pa.schema([("text_hash", _I64), ("doc_id", _I64)])
 
 
 def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     """Edges between documents with byte-identical text.
 
-    Two phases, so the wide shuffle never carries text:
+    Two exchanges, so the wide one never carries text:
 
-    1. shuffle only (text_hash:u64, doc_id:i64) rows — 16 B/doc — and
+    1. exchange only (text_hash:u64, doc_id:i64) rows — 16 B/doc — and
        keep the hash groups with ≥2 members (the only exact-dup
        candidates; ~the duplicate fraction of the corpus);
-    2. broadcast the candidate doc→partition index, melt each
-       candidate's text out of ``signatures`` in one streaming map
-       (non-candidates never leave their block), and byte-compare
-       within hash groups per partition to rule out 64-bit collisions.
+    2. broadcast the candidate doc→shard index, melt each candidate's
+       text out of ``signatures`` in one map (non-candidates never
+       leave their block), and byte-compare within hash groups per
+       shard to rule out 64-bit collisions.
 
     Star edges (min doc → others), the same rule as the oracle."""
-    import ray
+    sig_refs = signatures.to_arrow_refs()
+    member_refs = hash_exchange_refs(
+        sig_refs, _exact_members_map, "text_hash", _exact_members_kernel,
+        num_partitions, _EXACT_MEMBERS_SCHEMA)
+    if not member_refs:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
 
-    from hyrise_generalized_dedup_ray.functions.grouping import (
-        partition_ids, sort_groups)
-
-    i64 = pa.int64()
-
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        th = batch.column("text_hash").to_numpy(zero_copy_only=False)
-        pk = partition_ids(th, num_partitions)
-        return pa.table({
-            "pkey": pa.array(pk, type=i64),
-            "text_hash": batch.column("text_hash"),
-            "doc_id": batch.column("doc_id"),
-        })
-
-    def members_partition(part: pa.Table) -> pa.Table:
-        th = part.column("text_hash").to_numpy(zero_copy_only=False)
-        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
-        order, starts, ends = sort_groups((th,), order_by=(ids,))
-        th, ids = th[order], ids[order]
-        sizes = ends - starts
-        keep = np.zeros(len(th), dtype=bool)
-        for gi in np.flatnonzero(sizes >= 2):
-            keep[starts[gi]:ends[gi]] = True
-        return pa.table({
-            "text_hash": pa.array(th[keep], type=i64),
-            "doc_id": pa.array(ids[keep], type=i64),
-        })
-
-    members = (
-        signatures.select_columns(["doc_id", "text_hash"])
-        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pkey")
-        .map_groups(members_partition, batch_format="pyarrow")
-    ).materialize()
-
-    if members.count() > BROADCAST_PAIRS_MAX:
+    if count_rows(member_refs) > BROADCAST_PAIRS_MAX:
         # candidate membership too big to broadcast: hash-join the
         # candidate texts instead (still only candidates ship text)
         from hyrise_generalized_dedup_ray.util import heal_blocks
 
+        members = ray.data.from_arrow_refs(member_refs)
         cand = heal_blocks(members, max(2, num_partitions // 4))
         with_text = cand.join(
             signatures.select_columns(["doc_id", "text"]),
@@ -478,7 +507,8 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
         def add_th_pkey(batch: pa.Table) -> pa.Table:
             th = batch.column("text_hash").to_numpy(zero_copy_only=False)
             return batch.append_column(
-                "pkey", pa.array(partition_ids(th, num_partitions), type=i64))
+                "pkey", pa.array(partition_ids(th, num_partitions),
+                                 type=_I64))
 
         return (
             with_text.map_batches(add_th_pkey, batch_format="pyarrow",
@@ -487,11 +517,9 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
             .map_groups(_confirm_exact_partition, batch_format="pyarrow")
         )
 
-    tables = [t for t in ray.get(members.to_arrow_refs())
-              if t.num_columns > 0 and len(t)]
+    tables = [t for t in ray.get(member_refs) if t.num_rows]
     if not tables:
-        return ray.data.from_arrow(pa.table(
-            {"a": pa.array([], type=i64), "b": pa.array([], type=i64)}))
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
     mt = pa.concat_tables(tables)
     m_th = mt.column("text_hash").to_numpy(zero_copy_only=False)
     m_id = mt.column("doc_id").to_numpy(zero_copy_only=False)
@@ -500,36 +528,19 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     ref = ray.put({"md": m_id[order], "mth": m_th[order],
                    "mpk": m_pk[order]})
 
-    def melt(batch: pa.Table) -> pa.Table:
-        st = ray.get(ref)
-        md = st["md"]
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(md, ids)
-        pos_c = np.minimum(pos, len(md) - 1)
-        found = md[pos_c] == ids    # each doc has exactly one text_hash
-        rows = np.flatnonzero(found)
-        pos_f = pos_c[rows]
-        return pa.table({
-            "pkey": pa.array(st["mpk"][pos_f], type=i64),
-            "text_hash": pa.array(st["mth"][pos_f], type=i64),
-            "doc_id": pa.array(ids[rows], type=i64),
-            "text": batch.column("text").take(pa.array(rows)),
-        })
-
-    return (
-        signatures.select_columns(["doc_id", "text"])
-        .map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pkey")
-        .map_groups(_confirm_exact_partition, batch_format="pyarrow")
-    )
+    refs = hash_exchange_refs(
+        sig_refs,
+        functools.partial(_melt_exact_candidates, ref=ref),
+        "pkey", _confirm_exact_partition, num_partitions,
+        _EXACT_MELT_SCHEMA, key_is_shard=True)
+    if not refs:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(refs)
 
 
 def _confirm_exact_partition(part: pa.Table) -> pa.Table:
-    """One hash partition of (text_hash, doc_id, text) candidate rows →
+    """One hash shard of (text_hash, doc_id, text) candidate rows →
     byte-confirmed exact-dup star edges (see :func:`exact_dup_edges`)."""
-    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
-
-    i64 = pa.int64()
     th = part.column("text_hash").to_numpy(zero_copy_only=False)
     ids = part.column("doc_id").to_numpy(zero_copy_only=False)
     order2, starts, ends = sort_groups((th,), order_by=(ids,))
@@ -548,6 +559,6 @@ def _confirm_exact_partition(part: pa.Table) -> pa.Table:
             a.extend(group[0] for _ in group[1:])
             b.extend(group[1:])
     return pa.table({
-        "a": pa.array(a, type=i64),
-        "b": pa.array(b, type=i64),
+        "a": pa.array(a, type=_I64),
+        "b": pa.array(b, type=_I64),
     })
