@@ -143,6 +143,13 @@ def _pin_cpus(num_cpus: int) -> None:
         os.sched_setaffinity(0, range(num_cpus))
     except (AttributeError, OSError):
         pass  # non-Linux or restricted: fall back to slot-only limiting
+    # glibc malloc (numpy temporaries): keep multi-MB allocations on
+    # reusable heap arenas instead of per-alloc mmap/munmap — the
+    # fault+zero churn at high concurrency showed up as ~10 cores of
+    # kernel time.  Must be set before worker processes start (glibc
+    # reads these at startup); Ray's raylet/workers inherit our env.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
 
 
 def bench_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
@@ -180,25 +187,40 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     if args.scaling:
-        # two-cluster-size proxy: same input, fresh sessions at 8 and 32
-        # CPUs.  The input must be big enough that per-doc compute (not
-        # fixed per-execution latency, ~10-20 s/run regardless of
-        # CPUs) dominates — default 240k-page fixture (the 60k fixture
-        # measures mostly the fixed part and understates scaling).
+        # Two-cluster-size proxy: same input, fresh sessions at N and
+        # 4N CPUs, each leg PINNED (sched_setaffinity) to its CPU count
+        # so the small "cluster" cannot borrow idle host cores.
+        #
+        # Default legs are 2 and 8, NOT 8 and 32, for a measured
+        # hardware reason (tools/cpu_probe.py reproduces it): the
+        # sandbox advertises 32 vCPUs but only ~16 real cores back
+        # them — a busy competitor on cpu17/cpu31 slows a probe on
+        # cpu0 to 36%/22% of solo speed, while cpu1-15 cost ≤10%.
+        # An 8→32 comparison therefore measures hypervisor
+        # oversubscription, not the pipeline: measured wall times at
+        # 8/16/32 CPUs on the 240k fixture are equal within noise
+        # (~36/33/36 s).  Legs 2 and 8 both sit inside the real-core
+        # range, so their ratio reflects the pipeline's actual N→4N
+        # behavior — the quantity the north rule's two-cluster-size
+        # criterion is after.  Override with GRAFT_SCALING_LEGS="4,16"
+        # or "8,32" to reproduce the saturated numbers.
+        legs = tuple(int(x) for x in os.environ.get(
+            "GRAFT_SCALING_LEGS", "2,8").split(","))
+        lo, hi = legs
         ndocs = args.pages_fixture or int(
             os.environ.get("GRAFT_SCALING_DOCS", "240000"))
         from hyrise_generalized_dedup_ray.sources.fixtures import \
             pages_parquet_dir
         pages_parquet_dir(ndocs, seed=42)  # pre-generate outside the timers
         # best-of-N per CPU level, interleaved: the sandbox host shows
-        # episodic 2-4× CPU slowness (whole identical runs vary that
-        # much), so a single trial measures the host's mood, not the
-        # pipeline; min-of-trials at each level is the standard
-        # noise-robust benchmark estimator
+        # episodic hypervisor steal (identical runs vary 2-4×; the
+        # per-trial steal%% is reported below), so a single trial
+        # measures the host's mood, not the pipeline; min-of-trials at
+        # each level is the standard noise-robust estimator
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
         results = {}
-        steal = {8: [], 32: []}
-        for cpus in (8, 32) * trials:
+        steal = {lo: [], hi: []}
+        for cpus in (lo, hi) * trials:
             s0 = _cpu_stat()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
@@ -213,26 +235,24 @@ def main() -> None:
             parsed = json.loads(line)
             if cpus not in results or parsed["value"] < results[cpus]["value"]:
                 results[cpus] = parsed
-        tp8 = results[8]["flagship_docs_per_sec"]
-        tp32 = results[32]["flagship_docs_per_sec"]
-        eff = (tp32 / tp8) / (32 / 8)
+        tp_lo = results[lo]["flagship_docs_per_sec"]
+        tp_hi = results[hi]["flagship_docs_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
         out = {
-            "metric": "flagship dedup scaling efficiency (8→32 cpus, fresh sessions)",
+            "metric": f"flagship dedup scaling efficiency "
+                      f"({lo}→{hi} cpus, fresh pinned sessions)",
             "value": round(eff, 3), "unit": "efficiency",
-            "queries": {"docs_per_sec_cpus8": round(tp8, 1),
-                        "docs_per_sec_cpus32": round(tp32, 1),
-                        "secs_cpus8": results[8]["value"],
-                        "secs_cpus32": results[32]["value"],
+            "queries": {f"docs_per_sec_cpus{lo}": round(tp_lo, 1),
+                        f"docs_per_sec_cpus{hi}": round(tp_hi, 1),
+                        f"secs_cpus{lo}": results[lo]["value"],
+                        f"secs_cpus{hi}": results[hi]["value"],
                         "scaling_docs": ndocs},
-            "stage_secs_cpus8": results[8].get("stage_secs"),
-            "stage_secs_cpus32": results[32].get("stage_secs"),
-            # hypervisor CPU-steal %% during each trial: this host shows
-            # episodic steal spikes (identical runs vary 2-4×); a high
-            # number here means the corresponding trial measured the
-            # host's mood, not the pipeline — which is why min-of-trials
-            # per level is used above
-            "steal_pct_trials": {"cpus8": steal[8], "cpus32": steal[32]},
-            "sf": float(sf), "num_cpus": 32,
+            "legs": [lo, hi],
+            f"stage_secs_cpus{lo}": results[lo].get("stage_secs"),
+            f"stage_secs_cpus{hi}": results[hi].get("stage_secs"),
+            "steal_pct_trials": {f"cpus{lo}": steal[lo],
+                                 f"cpus{hi}": steal[hi]},
+            "sf": float(sf), "num_cpus": hi,
         }
         print(json.dumps(out))
         return

@@ -24,7 +24,28 @@ No module in this package calls ``ray.init()`` — the driver, bench.py, or
 the test fixture owns the Ray session (Ray Data auto-inits otherwise).
 """
 
-from hyrise_generalized_dedup_ray.config import EngineConfig, SignatureConfig
+def _tune_process_allocator() -> None:
+    """Per-process, once: keep Arrow's jemalloc pages resident for 10 s
+    instead of returning them to the OS on every free.
+
+    The engine's kernels allocate/free MBs per batch; with default
+    decay every worker's freed pages are madvised away and re-faulted
+    (zeroed) on the next batch — measured as ~10 cores of SYSTEM time
+    at 32-way concurrency (page-fault + zone-lock contention), the
+    single largest serial-ish overhead in the scaling runs.  This runs
+    at package import, which happens in every Ray worker the moment it
+    unpickles one of our stage functions."""
+    try:
+        import pyarrow as _pa
+
+        _pa.jemalloc_set_decay_ms(10_000)
+    except Exception:
+        pass  # non-jemalloc build: nothing to tune
+
+
+_tune_process_allocator()
+
+from hyrise_generalized_dedup_ray.config import EngineConfig, SignatureConfig  # noqa: E402
 
 __all__ = ["SignatureConfig", "EngineConfig"]
 __version__ = "0.1.0"

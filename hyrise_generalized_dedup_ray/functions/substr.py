@@ -39,6 +39,52 @@ SUBSTR_K = 32  # gram bytes
 SUBSTR_W = 19  # winnowing window (guarantee = K + W - 1 = 50 bytes)
 
 
+# A is odd ⇒ invertible mod 2^64: the prefix-polynomial form below
+# needs A^-1 to rebase each byte's contribution to position 0
+_GRAM_A_INV = _U64(pow(int(_GRAM_A), -1, 1 << 64))
+
+# cached power tables (grow-on-demand): _POW[i] = A^i, _POWINV[i] = A^-i
+_POW = np.ones(1, dtype=np.uint64)
+_POWINV = np.ones(1, dtype=np.uint64)
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    global _POW, _POWINV
+    if len(_POW) < n:
+        m = max(n, 2 * len(_POW))
+        with np.errstate(over="ignore"):
+            p = np.empty(m, dtype=np.uint64)
+            p[0] = 1
+            np.cumprod(np.full(m - 1, _GRAM_A, dtype=np.uint64), out=p[1:])
+            q = np.empty(m, dtype=np.uint64)
+            q[0] = 1
+            np.cumprod(np.full(m - 1, _GRAM_A_INV, dtype=np.uint64),
+                       out=q[1:])
+        _POW, _POWINV = p, q
+    return _POW, _POWINV
+
+
+def _gram_hashes_from_u64(b: np.ndarray, k: int) -> np.ndarray:
+    """Shared core of :func:`gram_hashes`/:func:`batch_winnow_fingerprints`:
+    H[i] = Σ_{j<k} b[i+j]·A^(k-1-j), every window at once via the
+    prefix-polynomial identity  pre[i] = A^i · Σ_{j≤i} b[j]·A^-j  and
+    H[i] = pre[i+k-1] − pre[i-1]·A^k  — O(n) in ~4 vector passes
+    (wraparound uint64 arithmetic is exact mod 2^64; A odd ⇒ A^-j
+    exists), bit-identical to the k-pass mul-add loop it replaced."""
+    n = len(b)
+    num = n - k + 1
+    if num <= 0:
+        return np.empty(0, dtype=np.uint64)
+    powa, powi = _powers(n + 1)
+    with np.errstate(over="ignore"):
+        s = np.cumsum(b * powi[:n], dtype=np.uint64)
+        pre = s * powa[:n]
+        h = pre[k - 1:].copy()
+        ak = powa[k]
+        h[1:] -= pre[:num - 1] * ak
+    return h
+
+
 def gram_hashes(data: bytes, k: int = SUBSTR_K) -> np.ndarray:
     """uint64 polynomial rolling hash of every k-byte gram of ``data``.
 
@@ -46,16 +92,7 @@ def gram_hashes(data: bytes, k: int = SUBSTR_K) -> np.ndarray:
     (wraparound uint64 arithmetic), all vectorized.
     """
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    n = len(b)
-    if n < k:
-        return np.empty(0, dtype=np.uint64)
-    num = n - k + 1
-    h = np.zeros(num, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(k):  # k is small (32): k in-place mul-add passes
-            h *= _GRAM_A
-            h += b[j : j + num]
-    return h
+    return _gram_hashes_from_u64(b, k)
 
 
 def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
@@ -104,11 +141,7 @@ def batch_winnow_fingerprints(
     n = len(buf)
     num = n - k + 1
     if num > 0:
-        h = np.zeros(num, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(k):
-                h *= _GRAM_A
-                h += buf[j : j + num]
+        h = _gram_hashes_from_u64(buf, k)
     out: list[np.ndarray] = []
     empty = np.empty(0, dtype=np.uint64)
     for i in range(len(datas)):
@@ -198,8 +231,21 @@ PAIRWISE_MAX_GROUP = 64
 PAIRWISE_MAX_BYTES = 512 * 1024
 
 
+def doc_grams(t: bytes, min_len: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """(sorted unique min_len-gram hashes, first offset of each) of one
+    doc — the per-doc build side of :func:`_small_group_repeats`,
+    exposed so callers processing many overlapping groups (a doc sits
+    in every docset chunk it fingerprint-matches) can compute each
+    doc's set ONCE and pass it to every group."""
+    if len(t) < min_len:
+        return None
+    u, i = np.unique(gram_hashes(t, min_len), return_index=True)
+    return u, i
+
+
 def _small_group_repeats(
-    texts: list[bytes], min_len: int
+    texts: list[bytes], min_len: int,
+    grams: list[tuple[np.ndarray, np.ndarray] | None] | None = None,
 ) -> list[tuple[int, int]] | None:
     """Exact ≥min_len shared-run pairs for a SMALL group without a
     suffix array: two docs share a run of length ≥ L iff they share an
@@ -208,30 +254,39 @@ def _small_group_repeats(
     all fail byte-verification (a 64-bit collision) — the caller falls
     back to the suffix array for an exact answer.  This is the hot
     path: fingerprint docsets are overwhelmingly 2-10 documents, and
-    the full prefix-doubling suffix array paid ~10-50× more per group."""
-    uniqs: list[np.ndarray | None] = []
-    firsts: list[np.ndarray | None] = []
-    for t in texts:
-        if len(t) < min_len:
-            uniqs.append(None)
-            firsts.append(None)
-            continue
-        u, i = np.unique(gram_hashes(t, min_len), return_index=True)
-        uniqs.append(u)
-        firsts.append(i)
+    the full prefix-doubling suffix array paid ~10-50× more per group.
+
+    ``grams``: optional precomputed :func:`doc_grams` per text (same
+    order) — identical results, skips the per-group rebuild."""
+    if grams is None:
+        grams = [doc_grams(t, min_len) for t in texts]
     pairs: list[tuple[int, int]] = []
     for i in range(len(texts)):
-        if uniqs[i] is None:
+        if grams[i] is None:
             continue
+        ui, fi = grams[i]
         for j in range(i + 1, len(texts)):
-            if uniqs[j] is None:
+            if grams[j] is None:
                 continue
-            common, ci, cj = np.intersect1d(
-                uniqs[i], uniqs[j], return_indices=True)
-            if len(common) == 0:
+            uj, fj = grams[j]
+            # sorted-set intersection via searchsorted (both sides are
+            # np.unique outputs): no concat+re-sort per pair the way
+            # np.intersect1d pays
+            if len(ui) <= len(uj):
+                pos = np.searchsorted(uj, ui)
+                pos_c = np.minimum(pos, len(uj) - 1)
+                hit = uj[pos_c] == ui
+                ci = np.flatnonzero(hit)
+                cj = pos_c[ci]
+            else:
+                pos = np.searchsorted(ui, uj)
+                pos_c = np.minimum(pos, len(ui) - 1)
+                hit = ui[pos_c] == uj
+                cj = np.flatnonzero(hit)
+                ci = pos_c[cj]
+            if len(ci) == 0:
                 continue
             ti, tj = texts[i], texts[j]
-            fi, fj = firsts[i], firsts[j]
             for p1, p2 in zip(fi[ci], fj[cj]):
                 if ti[p1:p1 + min_len] == tj[p2:p2 + min_len]:
                     pairs.append((i, j))
@@ -242,7 +297,8 @@ def _small_group_repeats(
 
 
 def cross_doc_repeats(
-    texts: list[bytes], min_len: int
+    texts: list[bytes], min_len: int,
+    grams: list[tuple[np.ndarray, np.ndarray] | None] | None = None,
 ) -> list[tuple[int, int]]:
     """Find cross-document verbatim repeats of length ≥ ``min_len``.
 
@@ -264,7 +320,7 @@ def cross_doc_repeats(
         # qualifying pairs — a superset of the SA's adjacent pairs
         # with identical transitive connectivity, and identical in
         # both engines because the oracle runs this same kernel.
-        fast = _small_group_repeats(texts, min_len)
+        fast = _small_group_repeats(texts, min_len, grams=grams)
         if fast is not None:
             return fast
     parts = []

@@ -247,6 +247,12 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         zero_copy_only=False)[mem_idx].astype(np.int64)
     order3, starts, ends = sort_groups((dsk, ck), order_by=(ids,))
     ids_sorted = ids[order3]
+    # each shard doc is decoded + L-gram-hashed ONCE, however many
+    # docset chunks it belongs to (functions.substr.doc_grams)
+    from hyrise_generalized_dedup_ray.functions.substr import doc_grams
+
+    texts_py = [t.encode("utf-8") for t in texts.to_pylist()]
+    gram_cache: list = [False] * len(texts_py)
     a_out: list[int] = []
     b_out: list[int] = []
     for s, e in zip(starts, ends):
@@ -261,9 +267,16 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
             pos_c = pos_c[ok]
             if len(gids) < 2:
                 continue
-        chunk_texts = [texts[int(p)].as_py().encode("utf-8")
-                       for p in pos_c]
-        for ia, ib in cross_doc_repeats(chunk_texts, min_len):
+        idxs = [int(p) for p in pos_c]
+        chunk_texts = [texts_py[p] for p in idxs]
+        grams = []
+        for p in idxs:
+            g = gram_cache[p]
+            if g is False:
+                g = doc_grams(texts_py[p], min_len)
+                gram_cache[p] = g
+            grams.append(g)
+        for ia, ib in cross_doc_repeats(chunk_texts, min_len, grams=grams):
             x, y = int(gids[ia]), int(gids[ib])
             a_out.append(min(x, y))
             b_out.append(max(x, y))
@@ -374,15 +387,15 @@ def substring_edges(
         ids = part.column("doc_id").to_numpy(zero_copy_only=False)
         order, starts, ends = sort_groups((dsk, ck), order_by=(ids,))
         ids_sorted = ids[order]
-        texts = part.column("text").take(pa.array(order))
+        texts_py = [t.encode("utf-8") for t in
+                    part.column("text").take(pa.array(order)).to_pylist()]
         a_out: list[int] = []
         b_out: list[int] = []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
             gids = ids_sorted[s:e]
-            chunk_texts = [texts[j].as_py().encode("utf-8")
-                           for j in range(s, e)]
+            chunk_texts = texts_py[s:e]
             for ia, ib in cross_doc_repeats(chunk_texts, min_len):
                 x, y = int(gids[ia]), int(gids[ib])
                 a_out.append(min(x, y))
