@@ -14,7 +14,8 @@ from hyrise_generalized_dedup_ray.relational.expressions import (  # noqa: F401
 )
 from hyrise_generalized_dedup_ray.relational.operators import (  # noqa: F401
     agg, aggregate, alias, anti_join, band_join, broadcast_join, difference,
-    distinct, exists_join, hash_join, intersect, limit, multi_predicate_join,
+    distinct, exists_join, hash_join, intersect, limit,
+    multi_predicate_join, print_table,
     print_table, product, projection, semi_join, sort, table_scan,
     theta_join, top_k, union_all, union_distinct,
 )

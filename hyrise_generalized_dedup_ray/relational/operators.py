@@ -92,6 +92,7 @@ def limit(ds: Dataset, n: int) -> Dataset:
     return ds.limit(n)
 
 
+
 # --------------------------------------------------------------------------
 # sort / top-k (§2.7)
 # --------------------------------------------------------------------------

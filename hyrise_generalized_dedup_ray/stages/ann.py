@@ -42,29 +42,39 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-class _BruteForceScorer:
-    """Actor-pool UDF: queries fetched + normalized once per actor."""
+# per-worker-process cache of normalized query matrices, keyed by the
+# broadcast ref — tasks (warm-worker reuse, elastic parallelism, no
+# actor-pool spawn latency) get the same build-once semantics an actor
+# __init__ would give (see the process-cache note in stages/signatures)
+_QUERY_CACHE: dict = {}
 
-    def __init__(self, queries_ref, k: int, col: str):
+
+def _query_state(queries_ref):
+    key = queries_ref.hex()
+    st = _QUERY_CACHE.get(key)
+    if st is None:
         q = ray.get(queries_ref)
-        self.qids = q["qids"]
-        self.qmat = _normalize(q["qmat"].astype(np.float64))
-        self.k = k
-        self.col = col
+        st = (q["qids"], _normalize(q["qmat"].astype(np.float64)))
+        _QUERY_CACHE.clear()   # one live query set per worker is plenty
+        _QUERY_CACHE[key] = st
+    return st
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _embedding_matrix(batch, self.col)
-        sims = _normalize(mat) @ self.qmat.T          # (n, q)
-        k = min(self.k, len(ids))
-        # local top-k per query (argpartition → exact order fixed later)
-        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
-        rows = part.ravel(order="F")
-        qidx = np.repeat(np.arange(sims.shape[1]), k)
-        return pa.table({
-            "query_id": pa.array(self.qids[qidx], type=pa.int64()),
-            "vec_id": pa.array(ids[rows], type=pa.int64()),
-            "sim": pa.array(sims[rows, qidx], type=pa.float64()),
-        })
+
+def _brute_force_score(batch: pa.Table, queries_ref, k: int,
+                       col: str) -> pa.Table:
+    qids, qmat = _query_state(queries_ref)
+    ids, mat = _embedding_matrix(batch, col)
+    sims = _normalize(mat) @ qmat.T          # (n, q)
+    k = min(k, len(ids))
+    # local top-k per query (argpartition → exact order fixed later)
+    part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
+    rows = part.ravel(order="F")
+    qidx = np.repeat(np.arange(sims.shape[1]), k)
+    return pa.table({
+        "query_id": pa.array(qids[qidx], type=pa.int64()),
+        "vec_id": pa.array(ids[rows], type=pa.int64()),
+        "sim": pa.array(sims[rows, qidx], type=pa.float64()),
+    })
 
 
 def brute_force_topk(
@@ -73,17 +83,19 @@ def brute_force_topk(
     query_mat: np.ndarray,
     k: int = 10,
     col: str = "embedding",
-    concurrency: tuple[int, int] = (1, 8),
+    concurrency: tuple[int, int] | None = None,  # kept for API compat
 ) -> Dataset:
     """Exact cosine top-k for each query row; returns
     (query_id, vec_id, sim) with exactly k rows per query (fewer only
     if the corpus is smaller than k)."""
+    import functools
+
     queries_ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
                            "qmat": np.asarray(query_mat)})
     local = embeddings.map_batches(
-        _BruteForceScorer, fn_constructor_args=(queries_ref, k, col),
+        functools.partial(_brute_force_score, queries_ref=queries_ref,
+                          k=k, col=col),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
     def final_topk(group: pa.Table) -> pa.Table:

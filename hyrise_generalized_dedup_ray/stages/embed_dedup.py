@@ -12,6 +12,8 @@ the MinHash LSH stage, stages/lsh.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -24,26 +26,24 @@ from hyrise_generalized_dedup_ray.stages.ann import (
 )
 
 
-class _PairScorer:
-    def __init__(self, corpus_ref, tau: float, col: str):
-        c = ray.get(corpus_ref)
-        self.all_ids = c["ids"]
-        self.all_mat = c["mat"]        # already normalized float64
-        self.tau = tau
-        self.col = col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _embedding_matrix(batch, self.col)
-        sims = _normalize(mat) @ self.all_mat.T          # (b, n)
-        bi, ci = np.nonzero(sims >= self.tau)
-        a = ids[bi]
-        b = self.all_ids[ci]
-        keep = a < b                                     # canonical a<b, drops self-pairs
-        return pa.table({
-            "a": pa.array(a[keep], type=pa.int64()),
-            "b": pa.array(b[keep], type=pa.int64()),
-            "sim": pa.array(sims[bi[keep], ci[keep]], type=pa.float64()),
-        })
+def _pair_score(batch: pa.Table, corpus_ref, tau: float,
+                col: str) -> pa.Table:
+    """Task UDF: the corpus object is a zero-copy read from the object
+    store per call (numpy views into shared memory — nothing to cache,
+    no actor-pool spawn latency)."""
+    c = ray.get(corpus_ref)
+    all_ids, all_mat = c["ids"], c["mat"]   # mat already normalized f64
+    ids, mat = _embedding_matrix(batch, col)
+    sims = _normalize(mat) @ all_mat.T          # (b, n)
+    bi, ci = np.nonzero(sims >= tau)
+    a = ids[bi]
+    b = all_ids[ci]
+    keep = a < b                 # canonical a<b, drops self-pairs
+    return pa.table({
+        "a": pa.array(a[keep], type=pa.int64()),
+        "b": pa.array(b[keep], type=pa.int64()),
+        "sim": pa.array(sims[bi[keep], ci[keep]], type=pa.float64()),
+    })
 
 
 @ray.remote
@@ -61,7 +61,7 @@ def embedding_near_dup_pairs(
     embeddings: Dataset,
     tau: float = 0.95,
     col: str = "embedding",
-    concurrency: tuple[int, int] = (1, 8),
+    concurrency: tuple[int, int] | None = None,  # kept for API compat
     max_broadcast_bytes: int = 2 << 30,
 ) -> Dataset:
     """Exact all-pairs cosine ≥ τ; returns (a, b, sim) with a < b.
@@ -88,9 +88,9 @@ def embedding_near_dup_pairs(
     refs = mat_ds.to_arrow_refs()
     corpus_ref = _build_corpus.remote(refs, col)
     return embeddings.map_batches(
-        _PairScorer, fn_constructor_args=(corpus_ref, tau, col),
+        functools.partial(_pair_score, corpus_ref=corpus_ref,
+                          tau=tau, col=col),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 

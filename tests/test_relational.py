@@ -165,3 +165,14 @@ def test_import_export_roundtrip(ray_session, tmp_path, sf_dir):
         back = back.sort_values("n_nationkey").reset_index(drop=True)
         assert (back["n_name"] == orig["n_name"]).all()
         assert len(back) == 25
+
+
+def test_print_table_renders_header_and_rows(ray_session, sf_dir):
+    """Print operator (print.hpp:22): schema header + n preview rows."""
+    from hyrise_generalized_dedup_ray.relational import load_table, print_table
+
+    text = print_table(load_table(sf_dir, "region"), n=3)
+    lines = text.splitlines()
+    assert "r_regionkey" in lines[0] and "r_name" in lines[0]
+    assert "int" in lines[0]           # schema types in the header
+    assert len(lines) == 2 + 3         # header, rule, 3 rows
