@@ -31,6 +31,17 @@ guarantee the partition kernels need.
 Reference analog: the radix-partitioned AggregateHash/JoinHash
 materialization passes (aggregate_hash.cpp:260, join_hash.hpp:36) —
 hash-cluster once, then run tight per-partition loops.
+
+Scale contract (10^12 docs / 256 nodes): the shuffle-object count is
+``map_tasks × num_shards``; both default to O(cluster CPUs), which is
+the right shape up to a few thousand cores (8k × 8k ≈ 67M objects is
+NOT — at that size, run the exchange hierarchically: exchange within
+each node group on ``hash(key) % G`` first, then across groups on the
+full key, keeping every level's object count ≤ ~10^5).  Shard payloads
+are ordinary object-store entries, so multi-node placement, transfer
+and disk spill are Ray's — a mega-shard degrades to spill, not OOM,
+and reduces pull shards as plain refs over the network exactly like
+Ray Data's own shuffle.
 """
 
 from __future__ import annotations
