@@ -111,10 +111,10 @@ def simhash_near_dup_pairs(
     chunk_bits = 64 // n_chunks
     sigs = sign_docs(docs, replace(cfg), eng)
 
-    from hyrise_generalized_dedup_ray.functions.grouping import (
-        partition_ids, sort_groups)
+    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["doc_id", "simhash", "num_shingles"])
         batch = batch.filter(pc.greater(batch["num_shingles"], 0))
         sim = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -133,12 +133,7 @@ def simhash_near_dup_pairs(
             "block_key": pa.array(key, type=pa.int64()),
             "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
             "simhash": pa.array(np.concatenate(out_sim), type=pa.int64()),
-            "pkey": pa.array(partition_ids(key, num_partitions), type=pa.int64()),
         })
-
-    exploded = sigs.select_columns(["doc_id", "simhash", "num_shingles"]).map_batches(
-        explode_chunks, batch_format="pyarrow", zero_copy_batch=True
-    )
 
     block_cap = eng.simhash_block_cap
 
@@ -212,8 +207,13 @@ def simhash_near_dup_pairs(
             "b": pa.array(b, type=pa.int64()),
         })
 
-    raw = exploded.groupby("pkey").map_groups(block_pairs_partition,
-                                              batch_format="pyarrow")
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange
+
+    block_schema = pa.schema([("block_key", pa.int64()),
+                              ("doc_id", pa.int64()),
+                              ("simhash", pa.int64())])
+    raw = hash_exchange(sigs, explode_chunks, "block_key",
+                        block_pairs_partition, num_partitions, block_schema)
     return dedupe_pairs(raw, num_partitions)
 
 
