@@ -216,8 +216,11 @@ def main() -> None:
         # episodic hypervisor steal (identical runs vary 2-4×; the
         # per-trial steal%% is reported below), so a single trial
         # measures the host's mood, not the pipeline; min-of-trials at
-        # each level is the standard noise-robust estimator
-        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+        # each level is the standard noise-robust estimator.  Measured
+        # efficiency can exceed 1.0 when every trial of the SMALL leg
+        # lands in a steal window — read values >1 as "≥1 within host
+        # noise" against the steal_pct_trials field
+        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
         results = {}
         steal = {lo: [], hi: []}
         for cpus in (lo, hi) * trials:

@@ -456,6 +456,15 @@ def ann_lsh(sf_dir: str):
                            k=ANN_K)
 
 
+def ann_ivf(sf_dir: str):
+    """IVF (spherical-k-means lists) ANN — the data-dependent scale
+    path next to the hyperplane LSH one (recall-bounded; no oracle)."""
+    from hyrise_generalized_dedup_ray.stages.ann import ivf_topk
+    qids, qmat = _query_matrix(sf_dir)
+    return ivf_topk(load_table(sf_dir, "embeddings"), qids, qmat,
+                    k=ANN_K, n_lists=32, n_probe=8)
+
+
 # --------------------------------------------------------------------------
 # multimodal + flagship
 # --------------------------------------------------------------------------
@@ -923,6 +932,7 @@ QUERIES = {
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "ann_brute_force": ann_brute_force,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "multi_pred_join": multi_pred_join,
     "theta_join_regions": theta_join_regions,
     "sort_orders_nulls": sort_orders_nulls,

@@ -115,6 +115,117 @@ def hyperplane_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
+@ray.remote
+def _train_centroids(sample_refs: list, col: str, n_lists: int,
+                     iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means (Lloyd, fixed iterations, deterministic seed)
+    over a corpus sample — runs in a task so the driver never holds
+    vectors.  Returns row-normalized (n_lists, dim) centroids."""
+    tables = [t for t in ray.get(list(sample_refs)) if t.num_columns > 0]
+    full = pa.concat_tables(tables)
+    _, mat = _embedding_matrix(full, col)
+    x = _normalize(mat.astype(np.float64))
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(x))
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def _ivf_assign(batch: pa.Table, cent_ref, col: str) -> pa.Table:
+    cent = ray.get(cent_ref)
+    ids, mat = _embedding_matrix(batch, col)
+    lists = np.argmax(_normalize(mat) @ cent.T, axis=1).astype(np.int64)
+    return batch.append_column("bucket", pa.array(lists, type=pa.int64()))
+
+
+def ivf_topk(
+    embeddings: Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    iters: int = 8,
+    seed: int = 0x1BF,
+    col: str = "embedding",
+) -> Dataset:
+    """IVF approximate top-k: spherical-k-means centroids (trained once
+    on a deterministic sample, broadcast), corpus rows assigned to
+    their nearest list in one map, each query probing its ``n_probe``
+    nearest lists; ONE groupby on the list id is the only shuffle, the
+    exact scorer runs inside each list.
+
+    ``n_probe = n_lists`` probes everything and reproduces
+    :func:`brute_force_topk` exactly (same final tiebreak order) — the
+    knob trades recall for the standard IVF speedup.  Next to
+    :func:`lsh_bucket_topk` this is the data-dependent scale path: at
+    10^12 rows the assignment map streams, the per-list search stays
+    bucket-local, and lists are re-trainable offline."""
+    sample_refs = embeddings.limit(train_sample).to_arrow_refs()
+    cent = ray.get(_train_centroids.remote(sample_refs, col, n_lists,
+                                           iters, seed))
+    cent_ref = ray.put(cent)
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    n_probe = min(n_probe, len(cent))
+    order = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]  # (q, probe)
+
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(order)):
+        for c in order[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    probe_ref = ray.put({
+        "probe": probe, "qids": np.asarray(query_ids, dtype=np.int64),
+        "qmat": qmat,
+    })
+
+    import functools
+
+    bucketed = embeddings.map_batches(
+        functools.partial(_ivf_assign, cent_ref=cent_ref, col=col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def search_bucket(group: pa.Table) -> pa.Table:
+        state = ray.get(probe_ref)
+        bucket = int(group.column("bucket")[0].as_py())
+        qidx = state["probe"].get(bucket)
+        if not qidx:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        ids, mat = _embedding_matrix(group, col)
+        sims = _normalize(mat) @ state["qmat"][qidx].T
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows = part.ravel(order="F")
+        cols = np.repeat(np.arange(len(qidx)), kk)
+        return pa.table({
+            "query_id": pa.array(state["qids"][np.asarray(qidx)[cols]],
+                                 type=pa.int64()),
+            "vec_id": pa.array(ids[rows], type=pa.int64()),
+            "sim": pa.array(sims[rows, cols], type=pa.float64()),
+        })
+
+    local = bucketed.groupby("bucket").map_groups(search_bucket,
+                                                  batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        order2 = pa.compute.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order2[:k])
+
+    return local.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pyarrow")
+
+
 def lsh_bucket_topk(
     embeddings: Dataset,
     query_ids: np.ndarray,

@@ -198,3 +198,48 @@ def test_exact_dedup_docs(ray_session):
     out = exact_dedup_docs(ds).to_pandas().sort_values("rep_id").reset_index(drop=True)
     assert out.rep_id.tolist() == [1, 2]
     assert out.n_copies.tolist() == [1, 3]
+
+
+def test_ivf_full_probe_equals_brute_force(ray_session, sf_dir):
+    """n_probe = n_lists probes every list → exact brute-force result
+    (same sim values, same vec_id tiebreak order)."""
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from hyrise_generalized_dedup_ray.pipelines.suite import _query_matrix
+    from hyrise_generalized_dedup_ray.relational import load_table
+    from hyrise_generalized_dedup_ray.stages.ann import (brute_force_topk,
+                                                         ivf_topk)
+
+    qids, qmat = _query_matrix(sf_dir)
+    emb = load_table(sf_dir, "embeddings")
+    exact = brute_force_topk(emb, qids, qmat, k=5).to_pandas()
+    ivf = ivf_topk(emb, qids, qmat, k=5, n_lists=16, n_probe=16).to_pandas()
+    key = ["query_id", "sim", "vec_id"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = ivf.sort_values(key).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert np.allclose(a["sim"], b["sim"])
+
+
+def test_ivf_default_probe_recall(ray_session, sf_dir):
+    """Recall@5 of the default-probe IVF vs exact ≥ 0.6 on the
+    near-orthogonal synthetic embeddings (a loose floor — real
+    clustered data probes far better)."""
+    from hyrise_generalized_dedup_ray.pipelines.suite import _query_matrix
+    from hyrise_generalized_dedup_ray.relational import load_table
+    from hyrise_generalized_dedup_ray.stages.ann import (brute_force_topk,
+                                                         ivf_topk)
+
+    qids, qmat = _query_matrix(sf_dir)
+    emb = load_table(sf_dir, "embeddings")
+    exact = brute_force_topk(emb, qids, qmat, k=5).to_pandas()
+    ivf = ivf_topk(emb, qids, qmat, k=5, n_lists=16, n_probe=6).to_pandas()
+    hits = 0
+    total = 0
+    for q in set(exact["query_id"]):
+        want = set(exact[exact["query_id"] == q]["vec_id"])
+        got = set(ivf[ivf["query_id"] == q]["vec_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.6, f"IVF recall {hits/total:.2f}"
