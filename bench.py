@@ -9,9 +9,11 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
 - minhash_pairs / ann  dedup + similarity-search ops
 
 ``--scaling``: the two-cluster-size criterion's sandbox proxy — run the
-flagship in TWO FRESH PROCESSES at num_cpus=8 and num_cpus=32 over the
-same input and report both throughputs + scaling efficiency
-(eff = (T8/T32) / (32/8); ≥ 0.8 target per BASELINE.json north_rule).
+flagship in TWO FRESH PINNED PROCESSES at num_cpus=N and num_cpus=4N
+(default legs 2 and 8; see the leg-selection comment in main() and
+BASELINE.md) over the same input and report both throughputs + scaling
+efficiency (eff = (tp_4N/tp_N) / 4; ≥ 0.8 target per BASELINE.json
+north_rule).
 
 This script OWNS its Ray session (ray.init/shutdown) — the only places
 allowed to besides tests/conftest.py and the CLI tools.
@@ -171,8 +173,9 @@ def bench_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
-                    help="run flagship at num_cpus=8 and 32 in fresh "
-                         "processes; report scaling efficiency")
+                    help="run flagship at N and 4N CPUs (default 2,8; "
+                         "GRAFT_SCALING_LEGS) in fresh pinned processes; "
+                         "report scaling efficiency")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--pages-fixture", type=int, default=0,
