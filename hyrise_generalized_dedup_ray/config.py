@@ -110,7 +110,7 @@ class EngineConfig:
                                          # fixed costs beat width gains below ~32 MB/partition
                                          # (measured 16 > 32 ≈ 8 at the 60k-doc payload);
                                          # raise for real multi-node payloads
-    small_cc_threshold: int = 2_000_000  # below this many edges, finish union-find on the driver
+    small_cc_threshold: int = 25_000_000  # below this many edges, finish union-find on the driver (vectorized Shiloach-Vishkin, ~16 B/edge: 25M edges = 400 MB + a few vector rounds)
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

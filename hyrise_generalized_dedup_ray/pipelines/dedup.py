@@ -145,10 +145,11 @@ def _edge_branches(
     return exact.union(near).union(substr)
 
 
-# labels tables up to this many rows (≈16 B/row of index state) are
-# broadcast; larger ones take the left-outer hash join — the same
-# size-guarded strategy selection as stages/verify.attach_texts.
-BROADCAST_LABELS_MAX = 5_000_000
+# labels tables up to this many rows (≈16 B/row of index state, one
+# shared-memory copy per node) are broadcast; larger ones take the
+# left-outer hash join — the same size-guarded strategy selection as
+# stages/verify.attach_texts.
+BROADCAST_LABELS_MAX = 50_000_000
 
 
 def _attach_labels(universe: Dataset, labels: Dataset,
@@ -311,6 +312,10 @@ def run_dedup_checkpointed(
         "signatures", ckpt_dir, sig_hash, in_fp,
         lambda: compute_signatures(ray.data.read_parquet(path), cfg, eng),
     )
+    # pin in the object store: the edge branches' exchanges each pull
+    # the signer blocks by ref — unmaterialized, every branch would
+    # re-read the checkpoint parquet from storage
+    signatures = signatures.materialize()
     metrics["resumed_signatures"] = resumed_sig
     metrics["docs"] = signatures.count()
     metrics["t_signatures_s"] = round(time.perf_counter() - t0, 3)

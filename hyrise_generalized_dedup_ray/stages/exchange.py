@@ -81,13 +81,19 @@ def _map_split(map_fn: MapFn, key_col: str, num_shards: int,
     pk = keys if key_is_shard else partition_ids(keys, num_shards)
     order = np.argsort(pk, kind="stable")
     bounds = np.searchsorted(pk[order], np.arange(num_shards + 1))
+    # ONE take clusters the rows by shard, then each shard ships as a
+    # zero-copy SLICE of the clustered table — Arrow IPC truncates
+    # sliced buffers to the referenced range (verified: a 1% slice of
+    # a string table serializes to ~1% of the bytes), so the objects
+    # stay compact.  A take() PER SHARD looked equivalent but caused a
+    # ~100× page-fault amplification (4M minor faults per map task on
+    # a 113k-row text table; ~12 cores of kernel time at 16-way) from
+    # per-take buffer allocation churn.
+    clustered = t.take(pa.array(order)).combine_chunks()
     out = []
     for i in range(num_shards):
-        idx = order[bounds[i]:bounds[i + 1]]
-        # take() (not slice-of-sorted-table) so each shard object is
-        # compact — a slice would serialize its parent's full buffers
-        out.append(t.take(pa.array(idx)).combine_chunks() if len(idx)
-                   else empty)
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        out.append(clustered.slice(lo, hi - lo) if hi > lo else empty)
     return out[0] if num_shards == 1 else tuple(out)
 
 

@@ -286,10 +286,11 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
     })
 
 
-# membership tables up to this many rows (~24 B/row) broadcast the
-# doc→(docset, chunk) index instead of hash-joining texts — the same
-# size-guarded strategy selection as stages/verify.attach_texts.
-BROADCAST_GROUPS_MAX = 2_000_000
+# membership tables up to this many rows (~24 B/row, one shared-memory
+# copy per node) broadcast the doc→(docset, chunk) index instead of
+# hash-joining texts — the same size-guarded strategy selection as
+# stages/verify.attach_texts; 25M rows ≈ 0.6 GB of index state.
+BROADCAST_GROUPS_MAX = 25_000_000
 
 
 def substring_edges(

@@ -46,10 +46,14 @@ _VERIFY_SCHEMA = pa.schema([("pkey", _I64), ("kind", _I64), ("a", _I64),
 
 
 # pairs up to this many rows ride the broadcast attach path (~64 bytes
-# of index state per pair broadcast once); beyond it the two-sided
-# hash join takes over — the JoinHash small-side-builds pragmatism
-# (join_hash.hpp:20-46) applied to strategy selection.
-BROADCAST_PAIRS_MAX = 2_000_000
+# of index state per pair, ray.put ONCE → one shared-memory copy per
+# node, workers read zero-copy); beyond it the two-sided hash join
+# takes over — the JoinHash small-side-builds pragmatism
+# (join_hash.hpp:20-46) applied to strategy selection.  25M pairs ≈
+# 1.6 GB of index state: comfortably one worker heap, and measured
+# ~10× faster than the join path at 5M pairs (the join spawns
+# aggregator actors and shuffles text per pair row).
+BROADCAST_PAIRS_MAX = 25_000_000
 
 
 def attach_texts(
