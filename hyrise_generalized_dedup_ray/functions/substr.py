@@ -43,15 +43,19 @@ SUBSTR_W = 19  # winnowing window (guarantee = K + W - 1 = 50 bytes)
 # needs A^-1 to rebase each byte's contribution to position 0
 _GRAM_A_INV = _U64(pow(int(_GRAM_A), -1, 1 << 64))
 
-# cached power tables (grow-on-demand): _POW[i] = A^i, _POWINV[i] = A^-i
-_POW = np.ones(1, dtype=np.uint64)
-_POWINV = np.ones(1, dtype=np.uint64)
+# cached power tables (grow-on-demand): [0][i] = A^i, [1][i] = A^-i.
+# Kept as ONE tuple global so a concurrent reader (driver branch
+# threads share this module) can never observe a grown _POW paired
+# with a stale shorter _POWINV.
+_POWERS: tuple[np.ndarray, np.ndarray] = (
+    np.ones(1, dtype=np.uint64), np.ones(1, dtype=np.uint64))
 
 
 def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
-    global _POW, _POWINV
-    if len(_POW) < n:
-        m = max(n, 2 * len(_POW))
+    global _POWERS
+    pw = _POWERS
+    if len(pw[0]) < n:
+        m = max(n, 2 * len(pw[0]))
         with np.errstate(over="ignore"):
             p = np.empty(m, dtype=np.uint64)
             p[0] = 1
@@ -60,8 +64,9 @@ def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
             q[0] = 1
             np.cumprod(np.full(m - 1, _GRAM_A_INV, dtype=np.uint64),
                        out=q[1:])
-        _POW, _POWINV = p, q
-    return _POW, _POWINV
+        pw = (p, q)
+        _POWERS = pw
+    return pw
 
 
 def _gram_hashes_from_u64(b: np.ndarray, k: int) -> np.ndarray:
