@@ -107,7 +107,43 @@ def embedding_near_dup_pairs_lsh(
     bucket.  Union of rounds, deduped.  Recall follows the standard
     random-hyperplane S-curve: P(same bucket) = (1 - θ/π)^planes per
     table; at τ=0.95 (θ≈18°) with 8 planes × 4 tables recall ≈ 0.97."""
-    rounds = []
+    import ray as _ray
+
+    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange_refs
+
+    def bucket_pairs(part: pa.Table, tau=tau) -> pa.Table:
+        """All buckets of one shard: exact cosine within each bucket
+        (groups resolved with one argsort — the partition-kernel
+        pattern, functions/grouping)."""
+        bk = part.column("bucket").to_numpy(zero_copy_only=False)
+        order, starts, ends = sort_groups((bk,))
+        sorted_part = part.take(pa.array(order))
+        ids_all, mat_all = _embedding_matrix(sorted_part, col)
+        nm_all = _normalize(mat_all)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            nm = nm_all[s:e]
+            ids = ids_all[s:e]
+            sims = nm @ nm.T
+            ai, bi = np.nonzero(np.triu(sims >= tau, k=1))
+            a, b = ids[ai], ids[bi]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+        })
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    P = max(4, cpus)
+    emb_refs = embeddings.to_arrow_refs()
+    round_refs: list = []
     for t in range(num_tables):
 
         def add_bucket(batch: pa.Table, table_idx=t) -> pa.Table:
@@ -117,28 +153,17 @@ def embedding_near_dup_pairs_lsh(
             rng = np.random.default_rng((seed, table_idx))
             planes = rng.standard_normal((num_planes, mat.shape[1]))
             keys = hyperplane_keys(_normalize(mat), planes)
-            return batch.append_column("bucket", pa.array(keys, type=pa.int64()))
-
-        def bucket_pairs(group: pa.Table) -> pa.Table:
-            ids, mat = _embedding_matrix(group, col)
-            nm = _normalize(mat)
-            sims = nm @ nm.T
-            ai, bi = np.nonzero(np.triu(sims >= tau, k=1))
-            a, b = ids[ai], ids[bi]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
             return pa.table({
-                "a": pa.array(lo, type=pa.int64()),
-                "b": pa.array(hi, type=pa.int64()),
+                "bucket": pa.array(keys, type=pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                col: batch.column(col),
             })
 
-        rounds.append(
-            embeddings.map_batches(add_bucket, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(bucket_pairs, batch_format="pyarrow")
-        )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.union(r)
+        schema = pa.schema([("bucket", pa.int64()),
+                            ("vec_id", pa.int64()),
+                            (col, embeddings.schema().base_schema.field(col).type)])
+        round_refs.extend(hash_exchange_refs(
+            emb_refs, add_bucket, "bucket", bucket_pairs, P, schema))
+    out = ray.data.from_arrow_refs(round_refs)
     from hyrise_generalized_dedup_ray.stages.lsh import dedupe_pairs
     return dedupe_pairs(out)
