@@ -308,8 +308,12 @@ def _aggregate_with_distinct(
             if fn == "count":
                 out[name] = pa.array(cnt, type=pa.int64())
             elif fn == "count_distinct":
-                dcodes = pc.dictionary_encode(col_).indices.to_numpy(
-                    zero_copy_only=False).astype(np.int64)
+                draw = pc.dictionary_encode(col_).indices.to_numpy(
+                    zero_copy_only=False)
+                # null indices surface as NaN floats: pin them to -1
+                # (they are excluded via `valid` below either way)
+                dcodes = (np.where(np.isnan(draw), -1, draw)
+                          if draw.dtype.kind == "f" else draw).astype(np.int64)
                 # distinct per group: sort (group, value-code), count
                 # boundaries; nulls (code kept distinct then excluded)
                 o2, s2, e2 = sort_groups(tuple(codes) + (dcodes,))
@@ -334,19 +338,24 @@ def _aggregate_with_distinct(
             else:
                 fv = np.where(valid_o, vals_o.astype(np.float64), 0.0)
                 s = np.add.reduceat(fv, starts)
+                # SQL/reference null conventions (golden .tbl parity,
+                # resources/test_data/tbl/aggregateoperator): an
+                # all-null group aggregates to NULL (never 0/±inf),
+                # and STDDEV_SAMP needs ≥2 non-null values
+                empty = cnt == 0
                 if fn == "sum":
-                    out[name] = pa.array(s, type=pa.float64())
+                    out[name] = pa.array(s, type=pa.float64(), mask=empty)
                 elif fn in ("avg", "mean"):
                     out[name] = pa.array(s / np.maximum(cnt, 1),
-                                         type=pa.float64())
+                                         type=pa.float64(), mask=empty)
                 elif fn == "min":
                     mv = np.where(valid_o, vals_o.astype(np.float64), np.inf)
                     out[name] = pa.array(np.minimum.reduceat(mv, starts),
-                                         type=pa.float64())
+                                         type=pa.float64(), mask=empty)
                 elif fn == "max":
                     mv = np.where(valid_o, vals_o.astype(np.float64), -np.inf)
                     out[name] = pa.array(np.maximum.reduceat(mv, starts),
-                                         type=pa.float64())
+                                         type=pa.float64(), mask=empty)
                 elif fn == "std":
                     mean = s / np.maximum(cnt, 1)
                     resid = np.where(
@@ -357,7 +366,7 @@ def _aggregate_with_distinct(
                     with np.errstate(invalid="ignore", divide="ignore"):
                         out[name] = pa.array(
                             np.sqrt(ss / np.maximum(cnt - 1, 1)),
-                            type=pa.float64())
+                            type=pa.float64(), mask=cnt < 2)
                 else:
                     raise ValueError(f"unknown aggregate {fn}")
         cols = {k: out[k] for k in keys}
