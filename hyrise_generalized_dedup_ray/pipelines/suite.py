@@ -255,6 +255,145 @@ def agg_stats_lineitem(sf_dir: str):
     })
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (reference ships Q1-Q22,
+    src/benchmark/tpch_benchmark.cpp): 3-way join + filtered group-by +
+    top-k on revenue.  Adapted to the driver tables (o_orderpriority
+    stands in for the missing o_shippriority column)."""
+    cutoff = datetime(1997, 3, 15)
+    c = table_scan(load_table(sf_dir, "customer",
+                              columns=["c_custkey", "c_mktsegment"]),
+                   col("c_mktsegment") == lit("BUILDING"))
+    o = table_scan(load_table(sf_dir, "orders",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_orderpriority"]),
+                   col("o_orderdate") < lit(cutoff))
+    li = table_scan(load_table(sf_dir, "lineitem",
+                               columns=["l_orderkey", "l_extendedprice",
+                                        "l_discount", "l_shipdate"]),
+                    col("l_shipdate") > lit(cutoff))
+    co = hash_join(c, o, on=["c_custkey"], right_on=["o_custkey"],
+                   num_partitions=8)
+    col3 = hash_join(co, li, on=["o_orderkey"], right_on=["l_orderkey"],
+                     num_partitions=8)
+    rev = projection(col3, {
+        "o_orderkey": "o_orderkey", "o_orderdate": "o_orderdate",
+        "o_orderpriority": "o_orderpriority",
+        "revenue": col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+    })
+    a = aggregate(rev, ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                  {"revenue": agg("sum", "revenue")}).repartition(2)
+    t = top_k(projection(a, {
+        "o_orderkey": "o_orderkey",
+        "revenue_c": _e_int("revenue"),
+        "o_orderpriority": "o_orderpriority",
+    }), "revenue_c", 10, descending=True, tiebreak="o_orderkey")
+    return t
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: 6-way join chain with the c_nationkey ==
+    s_nationkey co-location predicate + group-by revenue per nation."""
+    from hyrise_generalized_dedup_ray.util import heal_blocks
+
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1997, 1, 1)
+    c = load_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    o = heal_blocks(table_scan(load_table(sf_dir, "orders",
+                                           columns=["o_orderkey", "o_custkey",
+                                                    "o_orderdate"]),
+                                (col("o_orderdate") >= lit(lo))
+                                & (col("o_orderdate") < lit(hi))), 2)
+    li = load_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    s = load_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = load_table(sf_dir, "nation")
+    # selective scans leave zero-column empty blocks that break join
+    # schema resolution (util.heal_blocks)
+    r = heal_blocks(table_scan(load_table(sf_dir, "region"),
+                               col("r_name") == lit("ASIA")), 1)
+    co = hash_join(o, c, on=["o_custkey"], right_on=["c_custkey"],
+                   num_partitions=8)
+    col5 = hash_join(co, li, on=["o_orderkey"], right_on=["l_orderkey"],
+                     num_partitions=8)
+    cs = hash_join(col5, s, on=["l_suppkey"], right_on=["s_suppkey"],
+                   num_partitions=8)
+    # local-supplier predicate: customer and supplier share the nation
+    cs = heal_blocks(table_scan(cs, col("c_nationkey") == col("s_nationkey")),
+                     2)
+    cn = heal_blocks(hash_join(cs, n, on=["s_nationkey"],
+                               right_on=["n_nationkey"],
+                               num_partitions=8), 2)
+    cnr = hash_join(cn, r, on=["n_regionkey"], right_on=["r_regionkey"],
+                    num_partitions=8)
+    rev = projection(cnr, {
+        "n_name": "n_name",
+        "revenue": col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+    })
+    a = aggregate(rev, ["n_name"],
+                  {"revenue": agg("sum", "revenue")}).repartition(2)
+    return projection(a, {"n_name": "n_name",
+                          "revenue_c": _e_int("revenue")})
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure scan + predicate + global SUM — the
+    column-pruned read does all the work."""
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1997, 1, 1)
+    li = table_scan(
+        load_table(sf_dir, "lineitem",
+                   columns=["l_shipdate", "l_discount", "l_quantity",
+                            "l_extendedprice"]),
+        (col("l_shipdate") >= lit(lo)) & (col("l_shipdate") < lit(hi))
+        & between(col("l_discount"), 0.02, 0.06)
+        & (col("l_quantity") < lit(24.0)))
+    rev = projection(li, {"r": col("l_extendedprice") * col("l_discount")})
+    a = aggregate(rev, [], {"revenue": agg("sum", "r")})
+    return projection(a, {"revenue_c": _e_int("revenue")})
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: 4-way join over returned lineitems + group-by
+    customer + top-k by lost revenue."""
+    lo = datetime(1996, 10, 1)
+    hi = datetime(1997, 1, 1)
+    c = load_table(sf_dir, "customer",
+                   columns=["c_custkey", "c_name", "c_acctbal",
+                            "c_nationkey"])
+    o = table_scan(load_table(sf_dir, "orders",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]),
+                   (col("o_orderdate") >= lit(lo))
+                   & (col("o_orderdate") < lit(hi)))
+    li = table_scan(load_table(sf_dir, "lineitem",
+                               columns=["l_orderkey", "l_returnflag",
+                                        "l_extendedprice", "l_discount"]),
+                    col("l_returnflag") == lit("R"))
+    n = load_table(sf_dir, "nation")
+    co = hash_join(c, o, on=["c_custkey"], right_on=["o_custkey"],
+                   num_partitions=8)
+    col4 = hash_join(co, li, on=["o_orderkey"], right_on=["l_orderkey"],
+                     num_partitions=8)
+    cn = hash_join(col4, n, on=["c_nationkey"], right_on=["n_nationkey"],
+                   num_partitions=8)
+    rev = projection(cn, {
+        "c_custkey": "c_custkey", "c_name": "c_name",
+        "c_acctbal": "c_acctbal", "n_name": "n_name",
+        "revenue": col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+    })
+    a = aggregate(rev, ["c_custkey", "c_name", "c_acctbal", "n_name"],
+                  {"revenue": agg("sum", "revenue")}).repartition(2)
+    p = projection(a, {
+        "c_custkey": "c_custkey", "c_name": "c_name",
+        "revenue_c": _e_int("revenue"),
+        "bal_c": _e_int("c_acctbal"),
+        "n_name": "n_name",
+    })
+    return top_k(p, "revenue_c", 20, descending=True, tiebreak="c_custkey")
+
+
 def global_count_distinct(sf_dir: str):
     """COUNT(*) + COUNT(DISTINCT col) with no GROUP BY."""
     li = load_table(sf_dir, "lineitem", columns=["l_partkey"])
@@ -917,6 +1056,10 @@ QUERIES = {
     "set_except_parts": set_except_parts,
     "distinct_segments": distinct_segments,
     "agg_stats_lineitem": agg_stats_lineitem,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "global_count_distinct": global_count_distinct,
     "events_by_type": events_by_type,
     "token_stats": token_stats,
@@ -972,6 +1115,57 @@ ORACLE_SQL = {
                COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT)
+                 AS revenue_c,
+               o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate  > TIMESTAMP '1997-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT)
+                 AS revenue_c
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(ROUND(SUM(l_extendedprice*l_discount)*100) AS BIGINT)
+                 AS revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT)
+                 AS revenue_c,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,
+               n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue_c DESC, c_custkey LIMIT 20
     """,
     "filter_project_scan": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
