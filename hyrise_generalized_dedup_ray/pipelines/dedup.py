@@ -38,7 +38,6 @@ from hyrise_generalized_dedup_ray.config import (
 from hyrise_generalized_dedup_ray.stages.components import connected_components
 from hyrise_generalized_dedup_ray.stages.extract import extract_batch
 from hyrise_generalized_dedup_ray.stages.lsh import candidate_pairs
-from hyrise_generalized_dedup_ray.stages.signatures import SignerActor
 from hyrise_generalized_dedup_ray.stages.suffix import substring_edges
 from hyrise_generalized_dedup_ray.stages.verify import exact_dup_edges, verify_pairs
 

@@ -35,7 +35,7 @@ from hyrise_generalized_dedup_ray.functions.text import (
     unique_shingle_sets,
 )
 from hyrise_generalized_dedup_ray.stages.lsh import candidate_pairs, dedupe_pairs
-from hyrise_generalized_dedup_ray.stages.signatures import SignerActor, _list_of_u64
+from hyrise_generalized_dedup_ray.stages.signatures import _list_of_u64
 from hyrise_generalized_dedup_ray.stages.verify import verify_pairs
 
 # byte-wise popcount lookup table for Hamming distance kernels
