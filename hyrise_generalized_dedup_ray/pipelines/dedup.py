@@ -155,7 +155,7 @@ def _attach_labels(universe: Dataset, labels: Dataset,
                    join_partitions: int) -> Dataset:
     """(url, doc_id) × (doc_id, cluster) → (url, doc_id, cluster) with
     cluster = own doc_id when unlabeled (non-duplicates)."""
-    from hyrise_generalized_dedup_ray.util import heal_blocks
+    from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
 
     # pin: count + the chosen strategy both consume `labels`
     labels = labels.materialize()
@@ -186,10 +186,9 @@ def _attach_labels(universe: Dataset, labels: Dataset,
         return universe.map_batches(attach, batch_format="pyarrow",
                                     zero_copy_batch=True)
 
-    joined = universe.join(
-        heal_blocks(labels, max(2, join_partitions // 4)),
-        join_type="left_outer", num_partitions=join_partitions,
-        on=("doc_id",),
+    joined = exchange_join(
+        universe, labels, on=["doc_id"], how="left_outer",
+        num_partitions=join_partitions,
     )
 
     def fill_own(batch: pa.Table) -> pa.Table:

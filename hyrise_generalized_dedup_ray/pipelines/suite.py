@@ -164,8 +164,8 @@ def left_join_order_counts(sf_dir: str):
     """JoinHash Left mode: customers keep rows without orders."""
     c = load_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     o = load_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    j = c.join(o, join_type="left_outer", num_partitions=8,
-               on=("c_custkey",), right_on=("o_custkey",))
+    j = hash_join(c, o, on=["c_custkey"], right_on=["o_custkey"],
+                  how="left_outer")
     return aggregate(j, ["c_mktsegment"], {
         "n_orders": agg("count", "o_orderkey"),
         "n_rows": agg("count_star"),
@@ -294,25 +294,21 @@ def q3_shipping_priority(sf_dir: str):
 def q5_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape: 6-way join chain with the c_nationkey ==
     s_nationkey co-location predicate + group-by revenue per nation."""
-    from hyrise_generalized_dedup_ray.util import heal_blocks
-
     lo = datetime(1996, 1, 1)
     hi = datetime(1997, 1, 1)
     c = load_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    o = heal_blocks(table_scan(load_table(sf_dir, "orders",
-                                           columns=["o_orderkey", "o_custkey",
-                                                    "o_orderdate"]),
-                                (col("o_orderdate") >= lit(lo))
-                                & (col("o_orderdate") < lit(hi))), 2)
+    o = table_scan(load_table(sf_dir, "orders",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]),
+                   (col("o_orderdate") >= lit(lo))
+                   & (col("o_orderdate") < lit(hi)))
     li = load_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                              "l_discount"])
     s = load_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     n = load_table(sf_dir, "nation")
-    # selective scans leave zero-column empty blocks that break join
-    # schema resolution (util.heal_blocks)
-    r = heal_blocks(table_scan(load_table(sf_dir, "region"),
-                               col("r_name") == lit("ASIA")), 1)
+    r = table_scan(load_table(sf_dir, "region"),
+                   col("r_name") == lit("ASIA"))
     co = hash_join(o, c, on=["o_custkey"], right_on=["c_custkey"],
                    num_partitions=8)
     col5 = hash_join(co, li, on=["o_orderkey"], right_on=["l_orderkey"],
@@ -320,11 +316,9 @@ def q5_local_supplier_volume(sf_dir: str):
     cs = hash_join(col5, s, on=["l_suppkey"], right_on=["s_suppkey"],
                    num_partitions=8)
     # local-supplier predicate: customer and supplier share the nation
-    cs = heal_blocks(table_scan(cs, col("c_nationkey") == col("s_nationkey")),
-                     2)
-    cn = heal_blocks(hash_join(cs, n, on=["s_nationkey"],
-                               right_on=["n_nationkey"],
-                               num_partitions=8), 2)
+    cs = table_scan(cs, col("c_nationkey") == col("s_nationkey"))
+    cn = hash_join(cs, n, on=["s_nationkey"], right_on=["n_nationkey"],
+                   num_partitions=8)
     cnr = hash_join(cn, r, on=["n_regionkey"], right_on=["r_regionkey"],
                     num_partitions=8)
     rev = projection(cnr, {

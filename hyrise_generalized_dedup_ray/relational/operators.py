@@ -24,6 +24,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
+from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
 from hyrise_generalized_dedup_ray.relational.expressions import (
     Expr, between, col,
 )
@@ -387,17 +388,20 @@ def _aggregate_with_distinct(
 def hash_join(
     left: Dataset, right: Dataset, on: Sequence[str],
     right_on: Sequence[str] | None = None,
-    how: str = "inner", num_partitions: int = 32,
+    how: str = "inner", num_partitions: int | None = None,
 ) -> Dataset:
-    """JoinHash equality join (join_hash.hpp:20-46) via Ray's
-    hash-shuffle join.  how ∈ {inner, left_outer, right_outer,
-    full_outer}; semi/anti live in :func:`semi_join`/:func:`anti_join`
-    (broadcast — the reference's Bloom-filter trick, join_hash.hpp:54-58,
-    taken to its conclusion)."""
-    return left.join(
-        right, join_type=how, num_partitions=num_partitions,
-        on=tuple(on), right_on=tuple(right_on) if right_on else None,
-    )
+    """JoinHash equality join (join_hash.hpp:20-46) on the engine's
+    hash exchange: both sides map-split once on the key hash, then one
+    vectorized Acero hash join per shard — the reference's
+    radix-cluster + local build/probe shape (join_hash.cpp two-phase).
+    how ∈ {inner, left_outer, right_outer, full_outer}; semi/anti live
+    in :func:`semi_join`/:func:`anti_join` (broadcast — the reference's
+    Bloom-filter trick, join_hash.hpp:54-58, taken to its conclusion)
+    with :func:`exchange_join` ``how='semi'/'anti'`` as the
+    both-sides-large path.  ``num_partitions`` defaults to cluster
+    CPUs."""
+    return exchange_join(left, right, on, right_on=right_on, how=how,
+                         num_partitions=num_partitions)
 
 
 def _key_hash(batch: pa.Table, on: Sequence[str]) -> pa.Array:
@@ -618,8 +622,8 @@ def band_join(
                           zero_copy_batch=True)
     re_ = right.map_batches(bucket_right, batch_format="pyarrow",
                             zero_copy_batch=True)
-    j = le.join(re_, join_type="inner", num_partitions=num_partitions,
-                on=("_band_bucket",))
+    j = exchange_join(le, re_, on=["_band_bucket"],
+                      num_partitions=num_partitions)
     band = table_scan(
         j, between(col(right_on) - col(left_on), int(lo), int(hi)))
     return band.drop_columns(["_band_bucket"])

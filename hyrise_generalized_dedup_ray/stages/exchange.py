@@ -51,10 +51,13 @@ from typing import Callable, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
 from hyrise_generalized_dedup_ray.functions.grouping import partition_ids
+from hyrise_generalized_dedup_ray.functions.hashing import (hash_strings,
+                                                            splitmix64)
 
 MapFn = Callable[[pa.Table], pa.Table]
 KernelFn = Callable[[pa.Table], pa.Table]
@@ -111,6 +114,28 @@ def _reduce(kernel: KernelFn, seed: pa.Table | None, *shards: pa.Table):
     return kernel(t)
 
 
+def _shard_side(block_refs: Sequence["ray.ObjectRef"], map_fn: MapFn,
+                key_col: str, num_shards: int, schema: pa.Schema,
+                map_tasks: int | None = None,
+                key_is_shard: bool = False) -> list[list]:
+    """Map-split one side's blocks into ``num_shards`` hash shards.
+    Returns one per-shard ref list per map task.  One map task per CPU:
+    the split work is light, and halving the task count halves the
+    (num_maps × num_shards) shuffle-object count — small returns are
+    shipped inline through their owner, so object COUNT, not bytes,
+    sets this stage's fixed cost."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    m = map_tasks or min(len(block_refs), max(1, cpus))
+    fanin = math.ceil(len(block_refs) / m)
+    shard_lists: list[list] = []
+    for i in range(0, len(block_refs), fanin):
+        refs = _map_split.options(num_returns=num_shards).remote(
+            map_fn, key_col, num_shards, schema, key_is_shard,
+            *block_refs[i:i + fanin])
+        shard_lists.append([refs] if num_shards == 1 else list(refs))
+    return shard_lists
+
+
 def hash_exchange_refs(
     block_refs: Sequence["ray.ObjectRef"],
     map_fn: MapFn,
@@ -136,19 +161,9 @@ def hash_exchange_refs(
             return []
         return [_reduce.remote(kernel, seed, *[schema.empty_table()])
                 for seed in seed_shards]
-    # one map task per CPU: the split work is light, and halving the
-    # task count halves the (num_maps × num_shards) shuffle-object
-    # count — small returns are shipped inline through their owner, so
-    # object COUNT, not bytes, sets this stage's fixed cost
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    m = map_tasks or min(len(block_refs), max(1, cpus))
-    fanin = math.ceil(len(block_refs) / m)
-    shard_lists: list[list] = []
-    for i in range(0, len(block_refs), fanin):
-        refs = _map_split.options(num_returns=num_shards).remote(
-            map_fn, key_col, num_shards, schema, key_is_shard,
-            *block_refs[i:i + fanin])
-        shard_lists.append([refs] if num_shards == 1 else list(refs))
+    shard_lists = _shard_side(block_refs, map_fn, key_col, num_shards,
+                              schema, map_tasks=map_tasks,
+                              key_is_shard=key_is_shard)
     return [
         _reduce.remote(kernel,
                        None if seed_shards is None else seed_shards[p],
@@ -189,6 +204,177 @@ def _num_rows(t: pa.Table) -> int:
 def count_rows(refs: Sequence["ray.ObjectRef"]) -> int:
     """Total rows across table refs without moving the tables."""
     return int(sum(ray.get([_num_rows.remote(r) for r in refs])))
+
+
+# --------------------------------------------------------------------------
+# exchange join: map-split BOTH sides by key hash → per-shard Acero join
+# --------------------------------------------------------------------------
+#
+# Ray Data's built-in ``Dataset.join`` spawns a dedicated hash-shuffle
+# actor pool whose startup alone costs tens of seconds in this sandbox
+# (measured: 46 s cold / 8 s warm for a 15k×25-row join) and whose width
+# is fixed by ``num_partitions`` rather than the data.  The exchange
+# join below reuses the engine's own shuffle primitive instead: both
+# sides are map-split on a normalized 64-bit key hash (every row moves
+# exactly once, plain tasks, no actor pool), and each shard runs ONE
+# vectorized ``pyarrow.Table.join`` (Acero hash join).  This is the
+# reference's JoinHash shape verbatim — radix-cluster both inputs on the
+# key hash, then a tight local build/probe per partition
+# (join_hash.hpp:36-46, join_hash.cpp two-phase materialization) — and
+# it matches SQL semantics because the per-shard join is Acero's:
+# NULL keys never match, outer rows survive null-padded in whichever
+# shard they hashed to.
+#
+# Scale contract: shard payloads are ordinary object-store entries
+# (multi-node placement / spill are Ray's); a hot key concentrates in
+# one reduce exactly as in any hash join — salt known-hot keys upstream.
+
+_ACERO_HOW = {
+    "inner": "inner", "left": "left outer", "left_outer": "left outer",
+    "right_outer": "right outer", "full_outer": "full outer",
+    "semi": "left semi", "anti": "left anti",
+}
+
+_NULL_I64 = np.int64(-0x6A09E667F3BCC909)  # arbitrary sentinel shard key
+
+
+def _hash_kind(lt: pa.DataType, rt: pa.DataType) -> str:
+    """Normalization for one key position so that values Acero treats
+    as equal hash identically on BOTH sides."""
+    def kind(t):
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if (pa.types.is_timestamp(t) or pa.types.is_date(t)
+                or pa.types.is_time(t)):
+            return "temporal"
+        return "str"
+    kl, kr = kind(lt), kind(rt)
+    return kl if kl == kr else "str"
+
+
+def _key_hash_column(t: pa.Table, on: Sequence[str],
+                     kinds: Sequence[str]) -> np.ndarray:
+    """uint64 row hash over the key columns (null → fixed sentinel;
+    nulls never match in the per-shard join, they only need A home)."""
+    h = None
+    for c, k in zip(on, kinds):
+        a = t.column(c)
+        if k == "int":
+            v = pc.fill_null(pc.cast(a, pa.int64()), int(_NULL_I64))
+            col = splitmix64(v.to_numpy(zero_copy_only=False)
+                             .astype(np.int64).view(np.uint64))
+        elif k == "float":
+            v = pc.fill_null(pc.cast(a, pa.float64()), float("nan"))
+            f = np.nan_to_num(v.to_numpy(zero_copy_only=False),
+                              nan=-7.25e307)
+            # -0.0 + 0.0 == +0.0: join-equal zeros must hash equal
+            col = splitmix64((f + 0.0).view(np.uint64))
+        elif k == "temporal":
+            v = pc.fill_null(pc.cast(a, pa.int64()), int(_NULL_I64))
+            col = splitmix64(v.to_numpy(zero_copy_only=False)
+                             .astype(np.int64).view(np.uint64))
+        else:
+            s = pc.coalesce(pc.cast(a, pa.string()), pa.scalar("\x00null"))
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            col = hash_strings(s.to_numpy(zero_copy_only=False))
+        h = col if h is None else splitmix64(h ^ col)
+    return h
+
+
+def _append_pk(on: Sequence[str], kinds: Sequence[str]) -> MapFn:
+    on, kinds = list(on), list(kinds)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if "__pk" in t.column_names:
+            t = t.drop_columns(["__pk"])
+        h = _key_hash_column(t, on, kinds)
+        return t.append_column(
+            "__pk", pa.array(h.view(np.int64), type=pa.int64()))
+    return fn
+
+
+def _norm_float_keys(t: pa.Table, keys) -> pa.Table:
+    """-0.0 → +0.0 on float key columns (x + 0.0; nulls/NaN preserved):
+    SQL equality has -0.0 = 0.0 but Acero's join hash does not."""
+    for c in keys:
+        typ = t.schema.field(c).type
+        if pa.types.is_floating(typ):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.add(t.column(c), pa.scalar(0.0, type=typ)))
+    return t
+
+
+@ray.remote
+def _join_reduce(n_left: int, on, right_on, join_type: str,
+                 left_suffix, right_suffix, *shards: pa.Table) -> pa.Table:
+    l = shards[0] if n_left == 1 else pa.concat_tables(shards[:n_left])
+    rs = shards[n_left:]
+    r = rs[0] if len(rs) == 1 else pa.concat_tables(rs)
+    l, r = l.drop_columns(["__pk"]), r.drop_columns(["__pk"])
+    l, r = _norm_float_keys(l, on), _norm_float_keys(r, right_on)
+    return l.join(r, keys=list(on), right_keys=list(right_on),
+                  join_type=join_type, left_suffix=left_suffix,
+                  right_suffix=right_suffix, use_threads=False)
+
+
+def _pa_schema(ds: Dataset,
+               refs: Sequence["ray.ObjectRef"] | None = None) -> pa.Schema:
+    s = ds.schema()
+    if s is not None:
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(list(zip(s.names, s.types)))
+    # empty datasets can lose their schema; a block may still carry it
+    for r in refs or []:
+        sch = ray.get(r).schema
+        if len(sch) > 0:
+            return sch
+    raise ValueError("cannot determine schema of an empty dataset")
+
+
+def exchange_join(
+    left: Dataset, right: Dataset, on: Sequence[str],
+    right_on: Sequence[str] | None = None, how: str = "inner",
+    num_partitions: int | None = None,
+    left_suffix: str | None = None, right_suffix: str | None = None,
+    map_tasks: int | None = None,
+) -> Dataset:
+    """Distributed equality join on the hash exchange (see module note
+    above).  ``how`` ∈ {inner, left_outer, right_outer, full_outer,
+    semi, anti}; output column naming is Acero's (keys coalesced, right
+    key column dropped for inner/left)."""
+    on = list(on)
+    right_on = list(right_on or on)
+    jt = _ACERO_HOW[how]
+    lrefs, rrefs = list(left.to_arrow_refs()), list(right.to_arrow_refs())
+    ls, rs = _pa_schema(left, lrefs), _pa_schema(right, rrefs)
+    kinds = [_hash_kind(ls.field(a).type, rs.field(b).type)
+             for a, b in zip(on, right_on)]
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = num_partitions or max(2, cpus)
+    ls_pk = ls.append(pa.field("__pk", pa.int64()))
+    rs_pk = rs.append(pa.field("__pk", pa.int64()))
+    lsh = (_shard_side(lrefs, _append_pk(on, kinds), "__pk", P, ls_pk,
+                       map_tasks=map_tasks) if lrefs else [])
+    rsh = (_shard_side(rrefs, _append_pk(right_on, kinds), "__pk", P, rs_pk,
+                       map_tasks=map_tasks) if rrefs else [])
+    l_empty = r_empty = None
+    if not lsh:
+        l_empty = ray.put(ls_pk.empty_table())
+    if not rsh:
+        r_empty = ray.put(rs_pk.empty_table())
+    out = []
+    for p in range(P):
+        lrefs_p = [sl[p] for sl in lsh] if lsh else [l_empty]
+        rrefs_p = [sl[p] for sl in rsh] if rsh else [r_empty]
+        out.append(_join_reduce.remote(
+            len(lrefs_p), on, right_on, jt, left_suffix, right_suffix,
+            *lrefs_p, *rrefs_p))
+    return ray.data.from_arrow_refs(out)
 
 
 def split_by_key(table: pa.Table, keys: np.ndarray,

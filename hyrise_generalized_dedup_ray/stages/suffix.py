@@ -299,7 +299,7 @@ def substring_edges(
     num_partitions: int = 32,
 ) -> Dataset:
     """Signer output → exact ≥L-byte shared-substring edges (a,b)."""
-    from hyrise_generalized_dedup_ray.util import heal_blocks
+    from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
 
     # the suffix/pairwise kernels are the branch's heaviest compute and
     # group costs are skewed (one boilerplate docset vs thousands of
@@ -363,13 +363,10 @@ def substring_edges(
 
     # membership too large to broadcast: hash-join texts to members,
     # then exchange on (docset, chunk) — still only member texts move
-    groups = heal_blocks(ray.data.from_arrow_refs(group_refs),
-                         max(2, num_partitions // 4))
+    groups = ray.data.from_arrow_refs(group_refs)
     docs = signatures.select_columns(["doc_id", "text"])
-    with_text = groups.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id",),
-    )
+    with_text = exchange_join(groups, docs, on=["doc_id"],
+                              num_partitions=num_partitions)
 
     def add_group_pkey(batch: pa.Table) -> pa.Table:
         """Hash-partition on (docset, chunk) — the sort-based

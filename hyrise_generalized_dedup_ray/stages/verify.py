@@ -72,7 +72,7 @@ def attach_texts(
       caller's cluster-derived ``num_partitions`` (a hard cap here
       would freeze the pipeline's widest data movement at one node's
       worth of parallelism forever)."""
-    from hyrise_generalized_dedup_ray.util import heal_blocks
+    from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
 
     num_partitions = max(4, num_partitions)
     # pin: count + the chosen strategy both consume `pairs`
@@ -80,19 +80,14 @@ def attach_texts(
     if pairs.count() <= BROADCAST_PAIRS_MAX:
         return _attach_texts_broadcast(pairs, docs, num_partitions)
 
-    # pairs come out of a groupby → may carry zero-column empty blocks
-    # that break the join's schema resolution (util.heal_blocks)
-    pairs = heal_blocks(pairs, max(2, num_partitions // 4))
     docs = docs.select_columns(["doc_id", "text"])
-    j1 = pairs.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=("doc_id",),
+    j1 = exchange_join(
+        pairs, docs, on=["a"], right_on=["doc_id"],
+        num_partitions=num_partitions,
     ).rename_columns({"text": "text_a"}).select_columns(["a", "b", "text_a"])
-    # a join over sparse partitions can itself emit schema-less empties
-    j1 = heal_blocks(j1, max(2, num_partitions // 4))
-    j2 = j1.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=("doc_id",),
+    j2 = exchange_join(
+        j1, docs, on=["b"], right_on=["doc_id"],
+        num_partitions=num_partitions,
     ).rename_columns({"text": "text_b"}).select_columns(["a", "b", "text_a", "text_b"])
     return j2
 
@@ -498,14 +493,12 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     if count_rows(member_refs) > BROADCAST_PAIRS_MAX:
         # candidate membership too big to broadcast: hash-join the
         # candidate texts instead (still only candidates ship text)
-        from hyrise_generalized_dedup_ray.util import heal_blocks
+        from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
 
         members = ray.data.from_arrow_refs(member_refs)
-        cand = heal_blocks(members, max(2, num_partitions // 4))
-        with_text = cand.join(
-            signatures.select_columns(["doc_id", "text"]),
-            join_type="inner", num_partitions=num_partitions,
-            on=("doc_id",),
+        with_text = exchange_join(
+            members, signatures.select_columns(["doc_id", "text"]),
+            on=["doc_id"], num_partitions=num_partitions,
         )
 
         def add_th_pkey(batch: pa.Table) -> pa.Table:

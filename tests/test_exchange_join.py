@@ -1,0 +1,125 @@
+"""Exchange-join edge cases: the hash-exchange equality join
+(stages/exchange.exchange_join) must reproduce SQL join semantics —
+NULL keys never match but outer rows survive, semi/anti modes, string
+and multi-column keys consistent across shards, float -0.0 == +0.0,
+empty sides — against a DuckDB oracle on the same in-memory tables.
+
+Reference semantics: join_hash.hpp:20-46 (mode list and null
+behavior); the per-shard Acero join is the local build/probe.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
+
+
+def _dset(tbl: pa.Table):
+    return ray.data.from_arrow(tbl).repartition(3)
+
+
+def _sorted_rows(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:  # widen numerics: nullable int comes back float
+        if pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return sorted(map(repr, df.itertuples(index=False)))
+
+
+def _oracle(sql: str, **tables) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, t in tables.items():
+        con.register(name, t.to_pandas())
+    return con.execute(sql).df()
+
+
+L = pa.table({
+    "k": [1, 2, 2, None, 5, 0],
+    "s": ["a", "b", "c", "d", "e", "f"],
+})
+R_ = pa.table({
+    "rk": [2, 2, 3, None, 0, 9],
+    "v": [10, 20, 30, 40, 50, 60],
+})
+
+
+@pytest.mark.parametrize("how,sql_how", [
+    ("inner", "JOIN"), ("left_outer", "LEFT JOIN"),
+    ("full_outer", "FULL JOIN"),
+])
+def test_exchange_join_null_keys_match_sql(ray_session, how, sql_how):
+    out = exchange_join(_dset(L), _dset(R_), on=["k"], right_on=["rk"],
+                        how=how, num_partitions=5).to_pandas()
+    exp = _oracle(f"SELECT l.s, r.v FROM l {sql_how} r ON l.k = r.rk",
+                  l=L, r=R_)
+    assert _sorted_rows(out[["s", "v"]]) == _sorted_rows(exp)
+
+
+def test_exchange_join_right_outer(ray_session):
+    out = exchange_join(_dset(L), _dset(R_), on=["k"], right_on=["rk"],
+                        how="right_outer", num_partitions=4).to_pandas()
+    exp = _oracle("SELECT l.s, r.v FROM l RIGHT JOIN r ON l.k = r.rk",
+                  l=L, r=R_)
+    assert _sorted_rows(out[["s", "v"]]) == _sorted_rows(exp)
+
+
+@pytest.mark.parametrize("how,op", [("semi", "IN"), ("anti", "NOT IN")])
+def test_exchange_join_semi_anti_null_semantics(ray_session, how, op):
+    out = exchange_join(_dset(L), _dset(R_), on=["k"], right_on=["rk"],
+                        how=how, num_partitions=4).to_pandas()
+    # SQL IN/NOT IN with a NULL in the subquery: use EXISTS twins, which
+    # match hash-join semi/anti (nulls never match; anti keeps null left)
+    neg = "NOT " if how == "anti" else ""
+    exp = _oracle(f"SELECT l.k, l.s FROM l WHERE {neg}EXISTS "
+                  "(SELECT 1 FROM r WHERE r.rk = l.k)", l=L, r=R_)
+    assert _sorted_rows(out) == _sorted_rows(exp)
+
+
+def test_exchange_join_string_and_multicol_keys(ray_session):
+    lt = pa.table({"a": [1, 1, 2, 2, None], "b": ["x", "y", "x", None, "x"],
+                   "p": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    rt = pa.table({"a2": [1, 2, 2, None], "b2": ["x", "x", "zz", "x"],
+                   "q": [100, 200, 300, 400]})
+    out = exchange_join(_dset(lt), _dset(rt), on=["a", "b"],
+                        right_on=["a2", "b2"], how="left_outer",
+                        num_partitions=7).to_pandas()
+    exp = _oracle("SELECT l.p, r.q FROM l LEFT JOIN r "
+                  "ON l.a = r.a2 AND l.b = r.b2", l=lt, r=rt)
+    assert _sorted_rows(out[["p", "q"]]) == _sorted_rows(exp)
+
+
+def test_exchange_join_float_negative_zero_coloc(ray_session):
+    lt = pa.table({"f": [0.0, 1.5, -2.0], "s": ["z", "o", "m"]})
+    rt = pa.table({"f2": [-0.0, 1.5, 7.0], "v": [1, 2, 3]})
+    out = exchange_join(_dset(lt), _dset(rt), on=["f"], right_on=["f2"],
+                        num_partitions=8).to_pandas()
+    # 0.0 joins -0.0 (SQL equality) — the hash must co-locate them
+    assert _sorted_rows(out[["s", "v"]]) == _sorted_rows(
+        pd.DataFrame({"s": ["z", "o"], "v": [1, 2]}))
+
+
+def test_exchange_join_empty_sides(ray_session):
+    # no repartition: Ray degrades empty repartitioned blocks to a
+    # zero-column schema, at which point no join can recover the names
+    empty = ray.data.from_arrow(L.schema.empty_table())
+    out = exchange_join(empty, _dset(R_), on=["k"], right_on=["rk"],
+                        how="inner", num_partitions=3)
+    assert out.count() == 0
+    out2 = exchange_join(_dset(R_), empty, on=["rk"], right_on=["k"],
+                         how="left_outer", num_partitions=3).to_pandas()
+    assert len(out2) == R_.num_rows and out2["s"].isna().all()
+
+
+def test_exchange_join_skewed_key_single_shard(ray_session):
+    # one hot key: all rows land in ONE reduce and still join correctly
+    n = 5000
+    lt = pa.table({"k": [7] * n, "i": list(range(n))})
+    rt = pa.table({"k2": [7, 7], "tag": ["a", "b"]})
+    out = exchange_join(_dset(lt), _dset(rt), on=["k"], right_on=["k2"],
+                        num_partitions=6)
+    assert out.count() == 2 * n
