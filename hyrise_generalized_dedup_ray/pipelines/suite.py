@@ -749,6 +749,80 @@ def range_join_events(sf_dir: str):
                           "dt_us": col("b_ts") - col("a_ts")})
 
 
+def window_tumbling_events(sf_dir: str):
+    """Tumbling-window aggregate (1-hour epoch-aligned windows): event
+    count + value sum per (event_type, window start).  The window
+    column is a pure per-batch derivation; the only shuffle is the
+    grouped aggregate's."""
+    from hyrise_generalized_dedup_ray.stages.timeseries import \
+        add_tumbling_window
+
+    ev = load_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    w = add_tumbling_window(ev, "ts", 3_600_000_000)
+    a = aggregate(w, ["event_type", "win_start"], {
+        "n": agg("count_star"), "sum_value": agg("sum", "value"),
+    }).repartition(2)
+    return projection(a, {"event_type": "event_type",
+                          "win_start": "win_start", "n": "n",
+                          "sum_value_c": _e_int("sum_value")})
+
+
+def window_hopping_events(sf_dir: str):
+    """Hopping-window aggregate (size 1 h, hop 15 min: each event lands
+    in 4 overlapping windows): count + value sum per window start.  The
+    ≤ size/hop explosion happens per batch BEFORE the aggregate, so the
+    shuffle moves pre-reduced rows only."""
+    from hyrise_generalized_dedup_ray.stages.timeseries import \
+        add_hopping_windows
+
+    ev = load_table(sf_dir, "events", columns=["ts", "value"])
+    w = add_hopping_windows(ev, "ts", size_us=3_600_000_000,
+                            hop_us=900_000_000)
+    a = aggregate(w, ["win_start"], {
+        "n": agg("count_star"), "sum_value": agg("sum", "value"),
+    }).repartition(2)
+    return projection(a, {"win_start": "win_start", "n": "n",
+                          "sum_value_c": _e_int("sum_value")})
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity gap per user): one
+    row per session with start/end/count/value sum — ONE hash exchange
+    on user_id + a vectorized lexsort/gap-cumsum/reduceat kernel."""
+    from hyrise_generalized_dedup_ray.stages.timeseries import sessionize
+
+    ev = load_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value", "event_id"])
+    s = sessionize(ev, "user_id", "ts", gap_us=1_800_000_000,
+                   sum_col="value", tiebreak_col="event_id")
+    return projection(s, {"user_id": "user_id",
+                          "session_start": "session_start",
+                          "session_end": "session_end",
+                          "n_events": "n_events",
+                          "sum_value_c": _e_int("sum_value")})
+
+
+def asof_join_events(sf_dir: str):
+    """As-of join: each purchase event attaches the latest click by the
+    same user at or before it (ties → largest click event_id), nulls
+    when no prior click — both tagged sides co-locate through ONE hash
+    exchange on user_id, then a vectorized searchsorted merge."""
+    from hyrise_generalized_dedup_ray.stages.timeseries import asof_join
+
+    ev = load_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value"])
+    a = table_scan(ev, col("event_type") == lit("purchase")) \
+        .select_columns(["event_id", "ts", "user_id", "value"])
+    b = table_scan(ev, col("event_type") == lit("click")) \
+        .select_columns(["event_id", "ts", "user_id", "value"])
+    j = asof_join(a, b, key_col="user_id", ts_col="ts",
+                  right_id_col="event_id", right_cols=["event_id", "value"])
+    return projection(j, {"event_id": "event_id", "user_id": "user_id",
+                          "value": "value", "b_event_id": "b_event_id",
+                          "b_value": "b_value"})
+
+
 def meta_segments(sf_dir: str):
     """meta_segments/meta_chunks analog (§2.11,
     src/lib/utils/meta_tables/meta_segments_table.cpp): one row per
@@ -1078,6 +1152,10 @@ QUERIES = {
     "exists_correlated": exists_correlated,
     "not_exists_correlated": not_exists_correlated,
     "range_join_events": range_join_events,
+    "window_tumbling_events": window_tumbling_events,
+    "window_hopping_events": window_hopping_events,
+    "sessionize_events": sessionize_events,
+    "asof_join_events": asof_join_events,
     "meta_segments": meta_segments,
     "meta_segments_accurate": meta_segments_accurate,
     "meta_chunks": meta_chunks,
@@ -1298,6 +1376,49 @@ ORACLE_SQL = {
         FROM events a JOIN events b
         ON b.event_id > a.event_id
          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 5000000
+    """,
+    "window_tumbling_events": """
+        SELECT event_type,
+               make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                 AS win_start,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY 1, 2
+    """,
+    "window_hopping_events": """
+        SELECT make_timestamp((epoch_us(e.ts) // 900000000 - t.j)
+                              * 900000000) AS win_start,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(e.value)*100) AS BIGINT) AS sum_value_c
+        FROM events e CROSS JOIN range(4) t(j)
+        GROUP BY 1
+    """,
+    "sessionize_events": """
+        WITH g AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
+        FROM s GROUP BY user_id, sid
+    """,
+    "asof_join_events": """
+        WITH a AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             b AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT a.event_id, a.user_id, a.value,
+               b.event_id AS b_event_id, b.value AS b_value
+        FROM a LEFT JOIN b
+          ON a.user_id = b.user_id AND b.ts <= a.ts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY a.event_id
+                                   ORDER BY b.ts DESC, b.event_id DESC) = 1
     """,
     "meta_columns": """
         SELECT t.table_name, c.column_name,
