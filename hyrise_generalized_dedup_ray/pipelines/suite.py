@@ -522,6 +522,16 @@ def ngram_jaccard(sf_dir: str):
                                n=8, tau=0.7, num_partitions=8)
 
 
+def ngram_jaccard_exact(sf_dir: str):
+    """EXACT word-3-gram Jaccard self-join (All-Pairs/PPJoin prefix
+    filtering, stages/setsim.py): lossless by construction, so the
+    whole dedup-pair surface gets a brute-force DuckDB oracle — the
+    LSH variants above trade recall for fewer shuffles."""
+    from hyrise_generalized_dedup_ray.stages.setsim import exact_jaccard_join
+    return exact_jaccard_join(load_table(sf_dir, "documents"),
+                              n=3, tau=0.6, num_partitions=8)
+
+
 def substring_dups(sf_dir: str):
     """Suffix-array ≥50-byte shared-substring pairs over documents."""
     from hyrise_generalized_dedup_ray.pipelines.docs import sign_docs
@@ -1138,6 +1148,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard": ngram_jaccard,
+    "ngram_jaccard_exact": ngram_jaccard_exact,
     "substring_dups": substring_dups,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
@@ -1376,6 +1387,37 @@ ORACLE_SQL = {
         FROM events a JOIN events b
         ON b.event_id > a.event_id
          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 5000000
+    """,
+    "ngram_jaccard_exact": """
+        WITH toks AS (
+          SELECT d.doc_id, unnest(d.ts) AS tok,
+                 generate_subscripts(d.ts, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ts
+                FROM documents) d
+        ),
+        grams AS (
+          SELECT DISTINCT t1.doc_id,
+                 t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+          FROM toks t1
+          JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+          JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS n_common
+          FROM grams g1 JOIN grams g2
+            ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.a, i.b, i.n_common,
+               CAST(FLOOR(i.n_common * 1000000.0
+                          / (sa.sz + sb.sz - i.n_common) + 0.5) AS BIGINT)
+                 AS jacc_e6
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                     JOIN sizes sb ON sb.doc_id = i.b
+        WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.6
     """,
     "window_tumbling_events": """
         SELECT event_type,
