@@ -71,7 +71,9 @@ def run_named_queries(sf_dir: str) -> dict:
     names = ["q1_pricing_summary", "join_customer_nation_region",
              "top_k_orders", "agg_stats_lineitem", "token_stats",
              "minhash_lsh_pairs", "simhash_pairs", "embedding_dup_pairs",
-             "ann_brute_force"]
+             "ann_brute_force", "ngram_jaccard_exact",
+             "sessionize_events", "asof_join_events",
+             "window_hopping_events"]
     out = {}
     for name in names:
         t0 = time.perf_counter()

@@ -551,16 +551,40 @@ def broadcast_join(
     )
 
 
+# right sides above this byte size stop being broadcast (one copy per
+# worker heap) and route through the exchange join instead
+SEMI_BROADCAST_MAX_BYTES = 2 << 30
+
+
+def _semi_anti(left: Dataset, right: pa.Table | Dataset, on, right_on,
+               how: str) -> Dataset:
+    if isinstance(right, Dataset):
+        right = right.materialize()
+        if (right.size_bytes() or 0) > SEMI_BROADCAST_MAX_BYTES:
+            # both-sides-large path: hash exchange + per-shard Acero
+            # semi/anti (same SQL NULL semantics: nulls never match,
+            # anti keeps null-keyed left rows)
+            keep = right_on or on
+            return exchange_join(left, right.select_columns(list(keep)),
+                                 on, right_on=right_on, how=how)
+    return broadcast_join(left, right, on, right_on, how=how)
+
+
 def semi_join(left: Dataset, right: pa.Table | Dataset, on: Sequence[str],
               right_on: Sequence[str] | None = None) -> Dataset:
-    """JoinHash Semi mode (join_hash.hpp:20): keep left rows with a match."""
-    return broadcast_join(left, right, on, right_on, how="semi")
+    """JoinHash Semi mode (join_hash.hpp:20): keep left rows with a
+    match.  Broadcast build side (the reference's Bloom-filter trick
+    taken to its conclusion) below ``SEMI_BROADCAST_MAX_BYTES``;
+    exchange join above."""
+    return _semi_anti(left, right, on, right_on, "semi")
 
 
 def anti_join(left: Dataset, right: pa.Table | Dataset, on: Sequence[str],
               right_on: Sequence[str] | None = None) -> Dataset:
-    """JoinHash AntiNullAsFalse mode: keep left rows without a match."""
-    return broadcast_join(left, right, on, right_on, how="anti")
+    """JoinHash AntiNullAsFalse mode: keep left rows without a match.
+    Same size-guarded broadcast/exchange strategy as
+    :func:`semi_join`."""
+    return _semi_anti(left, right, on, right_on, "anti")
 
 
 def multi_predicate_join(

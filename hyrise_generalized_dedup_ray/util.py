@@ -44,12 +44,7 @@ def spread_blocks(ds: Dataset, per_cpu: int = 4, floor: int = 8) -> Dataset:
     return ds.repartition(max(floor, per_cpu * cpus))
 
 
-def heal_blocks(ds: Dataset, num_partitions: int = 8) -> Dataset:
-    """Workaround for a Ray Data quirk: hash-shuffle groupby/aggregate
-    emits ZERO-COLUMN empty blocks for partitions that received no rows,
-    and a downstream ``Dataset.join`` then fails its key-field lookup
-    ("No match or multiple matches for key field …") when it
-    concatenates them.  ``repartition`` rebuilds blocks under a unified
-    schema, dropping the schema-less empties.  Apply to any
-    groupby-derived Dataset that feeds a join."""
-    return ds.repartition(num_partitions)
+# NOTE: heal_blocks (repartition workaround for Ray's zero-column empty
+# groupby blocks breaking Dataset.join) was removed: every join now runs
+# on stages/exchange.exchange_join, whose map-split skips degenerate
+# blocks natively.

@@ -115,6 +115,25 @@ def test_exchange_join_empty_sides(ray_session):
     assert len(out2) == R_.num_rows and out2["s"].isna().all()
 
 
+def test_semi_anti_size_guard_routes_to_exchange(ray_session, monkeypatch):
+    """Above SEMI_BROADCAST_MAX_BYTES the semi/anti operators switch
+    from broadcast to the exchange join — results must be identical."""
+    from hyrise_generalized_dedup_ray.relational import operators as ops
+
+    left = _dset(L)
+    right = _dset(R_.select(["rk"]))
+    base_semi = sorted(ops.semi_join(left, right, on=["k"],
+                                     right_on=["rk"]).to_pandas()["s"])
+    base_anti = sorted(ops.anti_join(left, right, on=["k"],
+                                     right_on=["rk"]).to_pandas()["s"])
+    monkeypatch.setattr(ops, "SEMI_BROADCAST_MAX_BYTES", 0)
+    ex_semi = sorted(ops.semi_join(left, right, on=["k"],
+                                   right_on=["rk"]).to_pandas()["s"])
+    ex_anti = sorted(ops.anti_join(left, right, on=["k"],
+                                   right_on=["rk"]).to_pandas()["s"])
+    assert ex_semi == base_semi and ex_anti == base_anti
+
+
 def test_exchange_join_skewed_key_single_shard(ray_session):
     # one hot key: all rows land in ONE reduce and still join correctly
     n = 5000
