@@ -309,7 +309,8 @@ def _norm_float_keys(t: pa.Table, keys) -> pa.Table:
 
 @ray.remote
 def _join_reduce(n_left: int, on, right_on, join_type: str,
-                 left_suffix, right_suffix, *shards: pa.Table) -> pa.Table:
+                 left_suffix, right_suffix, coalesce_keys,
+                 *shards: pa.Table) -> pa.Table:
     l = shards[0] if n_left == 1 else pa.concat_tables(shards[:n_left])
     rs = shards[n_left:]
     r = rs[0] if len(rs) == 1 else pa.concat_tables(rs)
@@ -317,7 +318,8 @@ def _join_reduce(n_left: int, on, right_on, join_type: str,
     l, r = _norm_float_keys(l, on), _norm_float_keys(r, right_on)
     return l.join(r, keys=list(on), right_keys=list(right_on),
                   join_type=join_type, left_suffix=left_suffix,
-                  right_suffix=right_suffix, use_threads=False)
+                  right_suffix=right_suffix, coalesce_keys=coalesce_keys,
+                  use_threads=False)
 
 
 def _pa_schema(ds: Dataset,
@@ -341,12 +343,14 @@ def exchange_join(
     right_on: Sequence[str] | None = None, how: str = "inner",
     num_partitions: int | None = None,
     left_suffix: str | None = None, right_suffix: str | None = None,
-    map_tasks: int | None = None,
+    map_tasks: int | None = None, coalesce_keys: bool = True,
 ) -> Dataset:
     """Distributed equality join on the hash exchange (see module note
     above).  ``how`` ∈ {inner, left_outer, right_outer, full_outer,
     semi, anti}; output column naming is Acero's (keys coalesced, right
-    key column dropped for inner/left)."""
+    key column dropped for inner/left; ``coalesce_keys=False`` keeps
+    both sides' key columns — the reference's outer-join output shape,
+    int_outer_join_sorted_asc.tbl)."""
     on = list(on)
     right_on = list(right_on or on)
     jt = _ACERO_HOW[how]
@@ -373,7 +377,7 @@ def exchange_join(
         rrefs_p = [sl[p] for sl in rsh] if rsh else [r_empty]
         out.append(_join_reduce.remote(
             len(lrefs_p), on, right_on, jt, left_suffix, right_suffix,
-            *lrefs_p, *rrefs_p))
+            coalesce_keys, *lrefs_p, *rrefs_p))
     return ray.data.from_arrow_refs(out)
 
 

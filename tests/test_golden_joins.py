@@ -80,3 +80,33 @@ def test_join_matches_reference_golden(ray_session, how, golden):
     got.sort(key=repr)
     want = _parse_positional(os.path.join(TBL, golden))
     assert got == want, f"{golden}: {got} != {want}"
+
+
+def test_full_outer_join_matches_reference_golden(ray_session):
+    """int_float FULL OUTER int_float2 on a == a against the
+    reference's expected table int_outer_join_sorted_asc.tbl (5 rows:
+    2 matches on 12345, 1 on 123, one left-only 1234, one right-only
+    12).  coalesce_keys=False keeps both key columns — the golden's
+    a|b|a|b output shape."""
+    from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
+
+    a = load_tbl(os.path.join(TBL, "int_float.tbl"))
+    b = _rename(load_tbl(os.path.join(TBL, "int_float2.tbl")), "_r")
+    j = exchange_join(a, b, on=["a"], right_on=["a_r"], how="full_outer",
+                      num_partitions=4, coalesce_keys=False)
+    got = []
+    for r in j.to_pandas().to_dict("records"):
+        vals = []
+        for c in ["a", "b", "a_r", "b_r"]:
+            v = r[c]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            elif c.startswith("a"):
+                vals.append(int(v))
+            else:
+                vals.append(round(float(v), 4))
+        got.append(tuple(vals))
+    got.sort(key=repr)
+    want = _parse_positional(
+        os.path.join(TBL, "join_operators/int_outer_join_sorted_asc.tbl"))
+    assert got == want
