@@ -1600,4 +1600,42 @@ ORACLE_SQL["meta_plugins"] = (
     + ",".join(f"('{n}')" for n in sorted(QUERIES))
     + ") AS t(plugin_name)"
 )
+
+
+def _lang_id_oracle() -> str:
+    """SQL twin of functions/textstats.language_scores, generated from
+    the SAME stopword lists: count stopword hits per (doc, lang), pick
+    argmax with lexicographic-language tie-break, 'und' on zero hits."""
+    from hyrise_generalized_dedup_ray.functions.textstats import STOPWORDS
+
+    rows = ",".join(f"('{lang}','{w}')"
+                    for lang in sorted(STOPWORDS)
+                    for w in sorted(set(STOPWORDS[lang])))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(
+                     lower(text), '[\t\n\x0B\x0C\r ]+'),
+                     x -> x <> '')) AS tok
+          FROM documents
+        ),
+        sw(sl, w) AS (VALUES {rows}),
+        hits AS (
+          SELECT t.doc_id, s.sl, COUNT(*) AS n
+          FROM toks t JOIN sw s ON t.tok = s.w
+          GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT doc_id, sl,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, sl ASC) AS rk
+          FROM hits)
+        SELECT d.doc_id, d.lang,
+               COALESCE(b.sl, 'und') AS pred_lang
+        FROM documents d LEFT JOIN best b
+          ON b.doc_id = d.doc_id AND b.rk = 1
+    """
+
+
+ORACLE_SQL["lang_id"] = _lang_id_oracle()
 # meta_system_information is host-dependent → rows-only, no oracle.
