@@ -833,6 +833,22 @@ def asof_join_events(sf_dir: str):
                           "b_value": "b_value"})
 
 
+def write_path_roundtrip(sf_dir: str):
+    """Write path §2.9 (insert.cpp / delete.cpp / update.cpp recast as
+    snapshot-versioned parquet, relational/writeops.py): CREATE TABLE AS
+    nation → DELETE region 0 → UPDATE shift region keys ≥ 2 → read the
+    final snapshot."""
+    import tempfile
+    from hyrise_generalized_dedup_ray.relational import writeops as W
+
+    root = tempfile.mkdtemp(prefix="hgd_writepath_")
+    W.create_table(root, "n", load_table(sf_dir, "nation"))
+    W.delete_where(root, "n", col("n_regionkey") == lit(0))
+    W.update_where(root, "n", col("n_regionkey") >= lit(2),
+                   {"n_regionkey": col("n_regionkey") + lit(10)})
+    return W.read_table(root, "n")
+
+
 def meta_segments(sf_dir: str):
     """meta_segments/meta_chunks analog (§2.11,
     src/lib/utils/meta_tables/meta_segments_table.cpp): one row per
@@ -1167,6 +1183,7 @@ QUERIES = {
     "window_hopping_events": window_hopping_events,
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
+    "write_path_roundtrip": write_path_roundtrip,
     "meta_segments": meta_segments,
     "meta_segments_accurate": meta_segments_accurate,
     "meta_chunks": meta_chunks,
@@ -1451,6 +1468,12 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
         FROM s GROUP BY user_id, sid
+    """,
+    "write_path_roundtrip": """
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_regionkey >= 2 THEN n_regionkey + 10
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation WHERE NOT (n_regionkey = 0)
     """,
     "asof_join_events": """
         WITH a AS (SELECT * FROM events WHERE event_type = 'purchase'),

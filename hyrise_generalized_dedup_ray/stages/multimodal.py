@@ -73,6 +73,30 @@ class DecodeBackend:
         raw = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
         return (raw / np.float64(2**32)).astype(np.float32)
 
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        """Image resize to (width, height) — PIL thumbnail+reencode for
+        real; the stub emits a deterministic payload of the right
+        byte-budget (3 bytes/pixel) derived from the source digest, so
+        downstream stages see realistic size distributions."""
+        if self.mode == "real":
+            raise NotImplementedError("real resize needs PIL")
+        seed = hashlib.blake2b(payload, digest_size=32).digest()
+        need = width * height * 3
+        reps = -(-need // len(seed))
+        return (seed * reps)[:need]
+
+    def sample_frames(self, payload: bytes, every: int) -> list[bytes]:
+        """Video frame sampling (one frame per ``every``) — pyav keyframe
+        walk for real; the stub derives each frame's bytes from
+        (payload digest, frame index)."""
+        if self.mode == "real":
+            raise NotImplementedError("real frame sampling needs pyav")
+        info = self.decode("video", payload)
+        idxs = range(0, info["frames"], max(every, 1))
+        base = hashlib.blake2b(payload, digest_size=16).digest()
+        return [hashlib.blake2b(base + i.to_bytes(4, "little"),
+                                digest_size=64).digest() for i in idxs]
+
 
 class MediaDecodeActor:
     """Actor-pool UDF: backend constructed ONCE per actor; per batch it
@@ -126,6 +150,75 @@ def decode_media(
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1,
     )
+
+
+class MediaResizeActor:
+    """Actor-pool UDF: resize every image payload to a fixed target —
+    payload-in/payload-out stage (unlike decode, the binary column
+    SURVIVES here because resize feeds further media stages; keep
+    ``batch_size`` small)."""
+
+    def __init__(self, width: int, height: int, mode: str = "fake"):
+        self.backend = DecodeBackend(mode)
+        self.w, self.h = int(width), int(height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = [self.backend.resize(p, self.w, self.h) if t == "image" else p
+               for t, p in zip(types, payloads)]
+        i = batch.column_names.index("payload")
+        return batch.set_column(i, "payload",
+                                pa.array(out, type=pa.binary()))
+
+
+def resize_images(media: Dataset, width: int, height: int,
+                  mode: str = "fake", batch_size: int = 256,
+                  concurrency: tuple[int, int] = (1, 8)) -> Dataset:
+    """Resize the image rows of a media table to (width, height);
+    non-image rows pass through untouched."""
+    return media.map_batches(
+        MediaResizeActor, fn_constructor_args=(width, height, mode),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+class FrameSampleActor:
+    """Actor-pool UDF: explode each video row into one row per sampled
+    frame (media_id, frame_idx, frame payload) — the fan-out stage a
+    video pipeline feeds into per-frame decode/feature stages."""
+
+    def __init__(self, every: int, mode: str = "fake"):
+        self.backend = DecodeBackend(mode)
+        self.every = int(every)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_fr = [], [], []
+        for mid, t, p in zip(ids, types, payloads):
+            if t != "video":
+                continue
+            frames = self.backend.sample_frames(p, self.every)
+            out_id.extend([int(mid)] * len(frames))
+            out_idx.extend(range(len(frames)))
+            out_fr.extend(frames)
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_idx, type=pa.int64()),
+            "frame": pa.array(out_fr, type=pa.binary()),
+        })
+
+
+def sample_video_frames(media: Dataset, every: int = 30,
+                        mode: str = "fake", batch_size: int = 64,
+                        concurrency: tuple[int, int] = (1, 8)) -> Dataset:
+    """Video rows → one row per sampled frame (every ``every``-th)."""
+    return media.map_batches(
+        FrameSampleActor, fn_constructor_args=(every, mode),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
 
 
 def documents_as_media(documents: Dataset) -> Dataset:

@@ -164,6 +164,37 @@ def test_multimodal_decode_plumbing(ray_session, sf_dir):
         DecodeBackend("real").decode("image", b"...")
 
 
+def test_multimodal_resize_and_frame_sample_plumbing(ray_session, sf_dir):
+    from hyrise_generalized_dedup_ray.stages.multimodal import (
+        DecodeBackend, documents_as_media, resize_images,
+        sample_video_frames)
+
+    docs = load_table(sf_dir, "documents").limit(30)
+    media = documents_as_media(docs).materialize()
+    resized = resize_images(media, 32, 16).to_pandas()
+    is_img = resized.media_type == "image"
+    # images re-encoded to the 3-bytes/pixel budget; others untouched
+    assert (resized.payload[is_img].map(len) == 32 * 16 * 3).all()
+    orig = media.to_pandas()
+    assert (resized.payload[~is_img].map(len).to_numpy()
+            == orig.payload[~orig.media_type.eq("image")].map(len)
+            .to_numpy()).all()
+
+    frames = sample_video_frames(media, every=50).to_pandas()
+    n_videos = int((orig.media_type == "video").sum())
+    assert set(frames.media_id) <= set(
+        orig.media_id[orig.media_type == "video"])
+    assert len(frames) >= n_videos  # ≥1 sampled frame per video
+    assert (frames.frame.map(len) == 64).all()
+    # determinism: same payload + index → same frame bytes
+    b = DecodeBackend("fake")
+    assert b.sample_frames(b"xyz", 10) == b.sample_frames(b"xyz", 10)
+    with pytest.raises(NotImplementedError):
+        DecodeBackend("real").resize(b"p", 8, 8)
+    with pytest.raises(NotImplementedError):
+        DecodeBackend("real").sample_frames(b"p", 5)
+
+
 # --- documents dedup family ----------------------------------------------
 
 def test_simhash_blocking_finds_planted_near_dups(ray_session):

@@ -1,0 +1,73 @@
+"""Write path (§2.9): CREATE/INSERT/DELETE/UPDATE on the snapshot-
+versioned parquet table (relational/writeops.py) — append reuses
+committed files, a pinned version is a consistent snapshot across later
+commits, delete/update semantics match their SQL twins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray
+
+from hyrise_generalized_dedup_ray.relational import writeops as W
+from hyrise_generalized_dedup_ray.relational.expressions import col, lit
+
+
+@pytest.fixture
+def root(tmp_path):
+    return str(tmp_path)
+
+
+T0 = pa.table({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+
+
+def test_create_insert_read_roundtrip(ray_session, root):
+    W.create_table(root, "t", T0)
+    assert W.current_version(root, "t") == 0
+    v = W.insert_into(root, "t", pa.table({"k": [4, 5], "v": [40.0, 50.0]}))
+    assert v == 1
+    df = W.read_table(root, "t").to_pandas().sort_values("k")
+    assert df["k"].tolist() == [1, 2, 3, 4, 5]
+    # append REUSED the v0 files: v1 manifest is a superset of v0's
+    m0 = json.load(open(os.path.join(root, "t", "v0.manifest.json")))
+    m1 = json.load(open(os.path.join(root, "t", "v1.manifest.json")))
+    assert set(m0["files"]) < set(m1["files"])
+
+
+def test_snapshot_isolation_across_commits(ray_session, root):
+    W.create_table(root, "t", T0)
+    pinned = W.current_version(root, "t")
+    W.delete_where(root, "t", col("k") == lit(2))
+    # new readers see the delete; the pinned snapshot does not
+    assert sorted(W.read_table(root, "t").to_pandas()["k"]) == [1, 3]
+    assert sorted(W.read_table(root, "t", version=pinned)
+                  .to_pandas()["k"]) == [1, 2, 3]
+
+
+def test_update_where_matches_sql_semantics(ray_session, root):
+    W.create_table(root, "t", T0)
+    W.update_where(root, "t", col("k") >= lit(2),
+                   {"v": col("v") * lit(2.0)})
+    df = W.read_table(root, "t").to_pandas().sort_values("k")
+    assert df["v"].tolist() == [10.0, 40.0, 60.0]
+    assert W.current_version(root, "t") == 1
+
+
+def test_create_empty_with_schema_and_drop(ray_session, root):
+    W.create_table(root, "e", schema=T0.schema)
+    assert W.read_table(root, "e").count() == 0
+    W.insert_into(root, "e", T0)
+    assert W.read_table(root, "e").count() == 3
+    W.drop_table(root, "e")
+    with pytest.raises(Exception):
+        W.read_table(root, "e")
+    W.drop_table(root, "e", if_exists=True)  # no-op
+
+
+def test_create_duplicate_rejected(ray_session, root):
+    W.create_table(root, "t", T0)
+    with pytest.raises(ValueError):
+        W.create_table(root, "t", T0)
