@@ -529,7 +529,7 @@ def ngram_jaccard_exact(sf_dir: str):
     LSH variants above trade recall for fewer shuffles."""
     from hyrise_generalized_dedup_ray.stages.setsim import exact_jaccard_join
     return exact_jaccard_join(load_table(sf_dir, "documents"),
-                              n=3, tau=0.6, num_partitions=8)
+                              n=3, tau=0.6)
 
 
 def substring_dups(sf_dir: str):
