@@ -182,15 +182,28 @@ def hash_exchange(
     seed_shards: Sequence[pa.Table] | None = None,
     map_tasks: int | None = None,
     key_is_shard: bool = False,
+    num_groups: int | None = None,
 ) -> Dataset:
     """Dataset-in/Dataset-out wrapper around :func:`hash_exchange_refs`.
 
     Executes ``ds`` (if not already materialized) to obtain its Arrow
-    blocks; the result Dataset streams from the reduce outputs."""
+    blocks; the result Dataset streams from the reduce outputs.
+    ``num_groups`` switches to the two-level hierarchical exchange
+    (see :func:`hash_exchange_hierarchical_refs`) — the >10³-core path
+    that bounds shuffle-object count at M×G + S instead of M×S."""
     refs = ds.to_arrow_refs()
-    out = hash_exchange_refs(refs, map_fn, key_col, kernel, num_shards,
-                             schema, seed_shards=seed_shards,
-                             map_tasks=map_tasks, key_is_shard=key_is_shard)
+    if num_groups is not None and refs:
+        if seed_shards is not None or key_is_shard:
+            raise ValueError("hierarchical exchange does not support "
+                             "seed_shards / key_is_shard routing")
+        out = hash_exchange_hierarchical_refs(
+            refs, map_fn, key_col, kernel, num_shards, schema,
+            num_groups=num_groups, map_tasks=map_tasks)
+    else:
+        out = hash_exchange_refs(refs, map_fn, key_col, kernel, num_shards,
+                                 schema, seed_shards=seed_shards,
+                                 map_tasks=map_tasks,
+                                 key_is_shard=key_is_shard)
     if not out:
         return ray.data.from_arrow(kernel(schema.empty_table()))
     return ray.data.from_arrow_refs(out)
@@ -204,6 +217,89 @@ def _num_rows(t: pa.Table) -> int:
 def count_rows(refs: Sequence["ray.ObjectRef"]) -> int:
     """Total rows across table refs without moving the tables."""
     return int(sum(ray.get([_num_rows.remote(r) for r in refs])))
+
+
+# --------------------------------------------------------------------------
+# hierarchical exchange: two-level routing for very wide clusters
+# --------------------------------------------------------------------------
+
+@ray.remote
+def _concat_shards(*shards: pa.Table) -> pa.Table:
+    ts = [s for s in shards if s.num_rows]
+    if not ts:
+        return shards[0]
+    return ts[0] if len(ts) == 1 else pa.concat_tables(ts)
+
+
+def hash_exchange_hierarchical_refs(
+    block_refs: Sequence["ray.ObjectRef"],
+    map_fn: MapFn,
+    key_col: str,
+    kernel: KernelFn,
+    num_shards: int,
+    schema: pa.Schema,
+    num_groups: int,
+    map_tasks: int | None = None,
+) -> list["ray.ObjectRef"]:
+    """Two-level exchange for clusters where ``map_tasks × num_shards``
+    shuffle objects would swamp the object directory (the module-note
+    scale contract: keep every level's object count ≤ ~10^5).
+
+    Level 1 routes rows to ``num_groups`` GROUPS of final shards
+    (group = final_shard // shards_per_group — equal keys stay
+    together by construction); level 2 splits each group's concatenated
+    rows into its own final shards and runs the partition kernel.
+    Object count falls from M×S to M×G + S (e.g. 8k maps × 8k shards:
+    67M flat → 8k×64 + 8k ≈ 0.5M at G=64).  Kernel outputs are
+    IDENTICAL to the flat exchange — same final shard assignment, same
+    per-shard row multiset."""
+    if num_shards % num_groups:
+        raise ValueError("num_shards must be a multiple of num_groups")
+    per_group = num_shards // num_groups
+
+    g_schema = schema.append(pa.field("__shard", pa.int64()))
+
+    # level 1: route on group id (final_shard // per_group); the final
+    # shard is re-derived from the key inside level 2 (cheap) rather
+    # than carried as a second routing column
+    def route1(b: pa.Table) -> pa.Table:
+        t = map_fn(b)
+        if "__shard" in t.column_names:
+            t = t.drop_columns(["__shard"])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        g = partition_ids(keys, num_shards) // per_group
+        return t.append_column("__shard", pa.array(g, type=pa.int64()))
+
+    lvl1 = _shard_side(list(block_refs), route1, "__shard", num_groups,
+                       g_schema, map_tasks=map_tasks, key_is_shard=True)
+    group_refs = [
+        _concat_shards.remote(*[sl[g] for sl in lvl1])
+        for g in range(num_groups)
+    ]
+
+    def route2(b: pa.Table) -> pa.Table:
+        t = b.drop_columns(["__shard"])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        local = partition_ids(keys, num_shards) % per_group
+        return t.append_column("__shard", pa.array(local, type=pa.int64()))
+
+    out: list = [None] * num_shards
+    for g, gref in enumerate(group_refs):
+        lvl2 = _shard_side([gref], route2, "__shard", per_group, g_schema,
+                           map_tasks=1, key_is_shard=True)
+        for p in range(per_group):
+            shard_ref = _reduce.remote(
+                _drop_shard_then(kernel), None, *[sl[p] for sl in lvl2])
+            out[g * per_group + p] = shard_ref
+    return out
+
+
+def _drop_shard_then(kernel: KernelFn) -> KernelFn:
+    def fn(t: pa.Table) -> pa.Table:
+        if "__shard" in t.column_names:
+            t = t.drop_columns(["__shard"])
+        return kernel(t)
+    return fn
 
 
 # --------------------------------------------------------------------------
@@ -316,10 +412,17 @@ def _join_reduce(n_left: int, on, right_on, join_type: str,
     r = rs[0] if len(rs) == 1 else pa.concat_tables(rs)
     l, r = l.drop_columns(["__pk"]), r.drop_columns(["__pk"])
     l, r = _norm_float_keys(l, on), _norm_float_keys(r, right_on)
-    return l.join(r, keys=list(on), right_keys=list(right_on),
-                  join_type=join_type, left_suffix=left_suffix,
-                  right_suffix=right_suffix, coalesce_keys=coalesce_keys,
-                  use_threads=False)
+    on, right_on = list(on), list(right_on)
+    salted = "__salt" in l.column_names
+    if salted:
+        on, right_on = on + ["__salt"], right_on + ["__salt"]
+    out = l.join(r, keys=on, right_keys=right_on,
+                 join_type=join_type, left_suffix=left_suffix,
+                 right_suffix=right_suffix, coalesce_keys=coalesce_keys,
+                 use_threads=False)
+    if salted and "__salt" in out.column_names:
+        out = out.drop_columns(["__salt"])
+    return out
 
 
 def _pa_schema(ds: Dataset,
@@ -338,22 +441,70 @@ def _pa_schema(ds: Dataset,
     raise ValueError("cannot determine schema of an empty dataset")
 
 
+def _salted_maps(base_l: MapFn, base_r: MapFn, salt: int):
+    """Hot-key defense: the left side's rows for ANY key spread across
+    ``salt`` sub-buckets (round-robin within each map task — any
+    assignment is correct), while every right row is replicated into
+    all ``salt`` sub-buckets, so each sub-bucket holds a full copy of
+    its key's build side."""
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def lmap(t: pa.Table) -> pa.Table:
+        t = base_l(t)
+        h = t.column("__pk").to_numpy(zero_copy_only=False).view(np.uint64)
+        s = (np.arange(len(h), dtype=np.uint64) % np.uint64(salt))
+        pk = splitmix64(h + s * GOLD)
+        t = t.set_column(t.column_names.index("__pk"), "__pk",
+                         pa.array(pk.view(np.int64), type=pa.int64()))
+        # __salt joins as an extra key: two sub-buckets of one hot key
+        # can collide into the same reduce shard, where they must NOT
+        # cross-match (that would duplicate every pair)
+        return t.append_column("__salt",
+                               pa.array(s.view(np.int64), type=pa.int64()))
+
+    def rmap(t: pa.Table) -> pa.Table:
+        t = base_r(t)
+        n = t.num_rows
+        h = t.column("__pk").to_numpy(zero_copy_only=False).view(np.uint64)
+        idx = np.repeat(np.arange(n), salt)
+        s = np.tile(np.arange(salt, dtype=np.uint64), n)
+        pk = splitmix64(h[idx] + s * GOLD)
+        out = t.take(pa.array(idx))
+        out = out.set_column(out.column_names.index("__pk"), "__pk",
+                             pa.array(pk.view(np.int64), type=pa.int64()))
+        return out.append_column("__salt",
+                                 pa.array(s.view(np.int64), type=pa.int64()))
+
+    return lmap, rmap
+
+
 def exchange_join(
     left: Dataset, right: Dataset, on: Sequence[str],
     right_on: Sequence[str] | None = None, how: str = "inner",
     num_partitions: int | None = None,
     left_suffix: str | None = None, right_suffix: str | None = None,
     map_tasks: int | None = None, coalesce_keys: bool = True,
+    salt: int | None = None,
 ) -> Dataset:
     """Distributed equality join on the hash exchange (see module note
     above).  ``how`` ∈ {inner, left_outer, right_outer, full_outer,
     semi, anti}; output column naming is Acero's (keys coalesced, right
     key column dropped for inner/left; ``coalesce_keys=False`` keeps
     both sides' key columns — the reference's outer-join output shape,
-    int_outer_join_sorted_asc.tbl)."""
+    int_outer_join_sorted_asc.tbl).
+
+    ``salt`` (hot-key defense): split every key's LEFT rows across
+    ``salt`` sub-buckets and replicate the RIGHT side into each, so a
+    skewed probe key no longer lands whole on one reduce.  Right-side
+    volume multiplies by ``salt`` — use when the build side is modest
+    but a probe key is hot.  Only valid for how ∈ {inner, left,
+    left_outer, semi, anti}: right/full outer would emit unmatched
+    right rows once per replica."""
     on = list(on)
     right_on = list(right_on or on)
     jt = _ACERO_HOW[how]
+    if salt and salt > 1 and how in ("right_outer", "full_outer"):
+        raise ValueError("salt is not valid for right/full outer joins")
     lrefs, rrefs = list(left.to_arrow_refs()), list(right.to_arrow_refs())
     ls, rs = _pa_schema(left, lrefs), _pa_schema(right, rrefs)
     kinds = [_hash_kind(ls.field(a).type, rs.field(b).type)
@@ -362,9 +513,14 @@ def exchange_join(
     P = num_partitions or max(2, cpus)
     ls_pk = ls.append(pa.field("__pk", pa.int64()))
     rs_pk = rs.append(pa.field("__pk", pa.int64()))
-    lsh = (_shard_side(lrefs, _append_pk(on, kinds), "__pk", P, ls_pk,
+    lmap, rmap = _append_pk(on, kinds), _append_pk(right_on, kinds)
+    if salt and salt > 1:
+        lmap, rmap = _salted_maps(lmap, rmap, int(salt))
+        ls_pk = ls_pk.append(pa.field("__salt", pa.int64()))
+        rs_pk = rs_pk.append(pa.field("__salt", pa.int64()))
+    lsh = (_shard_side(lrefs, lmap, "__pk", P, ls_pk,
                        map_tasks=map_tasks) if lrefs else [])
-    rsh = (_shard_side(rrefs, _append_pk(right_on, kinds), "__pk", P, rs_pk,
+    rsh = (_shard_side(rrefs, rmap, "__pk", P, rs_pk,
                        map_tasks=map_tasks) if rrefs else [])
     l_empty = r_empty = None
     if not lsh:

@@ -88,6 +88,35 @@ def test_exchange_colocates_equal_keys(ray_session):
     assert set(seen) == set(np.unique(k))
 
 
+def test_hierarchical_exchange_matches_flat(ray_session):
+    """Two-level routing must produce EXACTLY the flat exchange's
+    per-shard kernel outputs (same final shard assignment), for shard
+    counts that stress per_group = 1 and > 1."""
+    ds, k, v = _make_ds(20_000, 500, seed=4)
+    for S, G in [(16, 4), (8, 8), (12, 3)]:
+        flat = hash_exchange(ds, _make_identity(), "k",
+                             _make_sum_kernel(), S, SCHEMA)
+        hier = hash_exchange(ds, _make_identity(), "k",
+                             _make_sum_kernel(), S, SCHEMA, num_groups=G)
+        f = flat.to_pandas().sort_values("k").reset_index(drop=True)
+        h = hier.to_pandas().sort_values("k").reset_index(drop=True)
+        assert f.equals(h), (S, G)
+
+
+def test_hierarchical_exchange_colocates_keys(ray_session):
+    ds, k, _ = _make_ds(5_000, 37, seed=5)
+
+    def keyset_kernel(part: pa.Table) -> pa.Table:
+        ks = np.unique(part.column("k").to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(ks, type=I64),
+                         "v": pa.array(np.zeros(len(ks), np.int64))})
+
+    out = hash_exchange(ds, _make_identity(), "k", keyset_kernel, 12,
+                        SCHEMA, num_groups=4)
+    seen = out.to_pandas()["k"]
+    assert seen.is_unique and set(seen) == set(np.unique(k))
+
+
 def test_exchange_empty_input(ray_session):
     ds = ray.data.from_arrow(SCHEMA.empty_table())
     out = hash_exchange(ds, _make_identity(), "k", _make_sum_kernel(), 4, SCHEMA)

@@ -142,3 +142,26 @@ def test_exchange_join_skewed_key_single_shard(ray_session):
     out = exchange_join(_dset(lt), _dset(rt), on=["k"], right_on=["k2"],
                         num_partitions=6)
     assert out.count() == 2 * n
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "semi", "anti"])
+def test_exchange_join_salted_matches_unsalted(ray_session, how):
+    """Hot-key salting spreads a skewed probe key across reduces
+    without changing the join result, in every mode it supports."""
+    n = 4000
+    lt = pa.table({"k": [7] * n + [1, 2], "i": list(range(n + 2))})
+    rt = pa.table({"k2": [7, 7, 1, 9], "tag": ["a", "b", "c", "d"]})
+    base = exchange_join(_dset(lt), _dset(rt), on=["k"], right_on=["k2"],
+                         how=how, num_partitions=6).to_pandas()
+    salted = exchange_join(_dset(lt), _dset(rt), on=["k"],
+                           right_on=["k2"], how=how, num_partitions=6,
+                           salt=4)
+    # the hot key's output now spans >1 reduce (output block)
+    per_block = [b.num_rows for b in ray.get(salted.to_arrow_refs())]
+    sp = salted.to_pandas()
+    assert _sorted_rows(sp) == _sorted_rows(base)
+    if how in ("inner", "left_outer"):
+        assert sum(1 for c in per_block if c > 0) > 1
+    with pytest.raises(ValueError):
+        exchange_join(_dset(lt), _dset(rt), on=["k"], right_on=["k2"],
+                      how="full_outer", salt=4)
