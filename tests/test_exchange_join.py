@@ -28,6 +28,8 @@ def _sorted_rows(df: pd.DataFrame) -> list[tuple]:
     for c in df.columns:  # widen numerics: nullable int comes back float
         if pd.api.types.is_numeric_dtype(df[c]):
             df[c] = df[c].astype("float64")
+    df = df.astype(object)
+    df = df.where(pd.notna(df), None)  # None vs NaN repr for nulls
     return sorted(map(repr, df.itertuples(index=False)))
 
 
@@ -132,6 +134,47 @@ def test_semi_anti_size_guard_routes_to_exchange(ray_session, monkeypatch):
     ex_anti = sorted(ops.anti_join(left, right, on=["k"],
                                    right_on=["rk"]).to_pandas()["s"])
     assert ex_semi == base_semi and ex_anti == base_anti
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    _keys = st.lists(st.one_of(st.integers(-3, 6), st.none()),
+                     min_size=0, max_size=12)
+
+    @settings(max_examples=20, deadline=None)
+    @given(lk=_keys, rk=_keys,
+           how=st.sampled_from(["inner", "left_outer", "right_outer",
+                                "full_outer"]),
+           p=st.integers(2, 7))
+    def test_exchange_join_property_vs_duckdb(ray_session, lk, rk, how, p):
+        """Randomized semantics check: any key multiset (with NULLs) in
+        any mode must match DuckDB on the same tables."""
+        lt = pa.table({"k": pa.array(lk, type=pa.int64()),
+                       "s": pa.array([f"l{i}" for i in range(len(lk))],
+                                     type=pa.string())})
+        rt = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                       "v": pa.array(list(range(len(rk))),
+                                     type=pa.int64())})
+        out = exchange_join(ray.data.from_arrow(lt),
+                            ray.data.from_arrow(rt),
+                            on=["k"], right_on=["rk"], how=how,
+                            num_partitions=p).to_pandas()
+        sql_how = {"inner": "JOIN", "left_outer": "LEFT JOIN",
+                   "right_outer": "RIGHT JOIN",
+                   "full_outer": "FULL JOIN"}[how]
+        exp = _oracle(f"SELECT l.s, r.v FROM l {sql_how} r "
+                      "ON l.k = r.rk", l=lt, r=rt)
+        if len(exp) == 0:
+            # Ray's to_pandas drops columns on an all-empty dataset
+            assert len(out) == 0
+            return
+        assert _sorted_rows(out[["s", "v"]]) == _sorted_rows(exp)
 
 
 def test_exchange_join_skewed_key_single_shard(ray_session):
