@@ -100,3 +100,36 @@ def language_scores(texts: list[str] | pa.Array) -> tuple[list[str], np.ndarray]
     any_hit = hits.max(axis=1) > 0
     preds = [langs[int(b)] if h else "und" for b, h in zip(best, any_hit)]
     return preds, hits
+
+
+def repetition_features(texts, ns=(2, 3)) -> dict[str, np.ndarray]:
+    """Intra-document repetition (the Gopher-style quality rule,
+    Rae et al. 2021 §A1.1 — public): per doc and per n in ``ns``,
+    total word-n-grams, DISTINCT word-n-grams, and the duplicate
+    fraction as ``floor((total-distinct)*1e6/total + 0.5)`` (0 when the
+    doc has no n-grams) — the exact integer/double expression a SQL
+    twin computes.  Vectorized: one shingle pass per n, per-doc
+    distinct via lexsort boundaries; n-gram identity is the 64-bit
+    polynomial token hash (collision odds ~1e-13 per doc, same
+    determinism note as stages/setsim.py)."""
+    from hyrise_generalized_dedup_ray.functions.text import batch_shingles
+
+    out: dict[str, np.ndarray] = {}
+    texts = list(texts)
+    ndocs = len(texts)
+    for n in ns:
+        flat, off = batch_shingles(texts, n)
+        total = np.diff(off)
+        doc_idx = np.repeat(np.arange(ndocs), total)
+        order = np.lexsort((flat, doc_idx))
+        d_s, f_s = doc_idx[order], flat[order]
+        keep = np.ones(len(f_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+        distinct = np.bincount(d_s[keep], minlength=ndocs)
+        denom = np.maximum(total, 1).astype(np.float64)
+        frac = np.floor((total - distinct) * 1_000_000.0 / denom + 0.5)
+        out[f"n_{n}grams"] = total.astype(np.int64)
+        out[f"n_distinct_{n}grams"] = distinct.astype(np.int64)
+        out[f"dup_{n}gram_frac_e6"] = np.where(total > 0, frac, 0.0) \
+            .astype(np.int64)
+    return out

@@ -499,6 +499,51 @@ def doc_fingerprints(sf_dir: str):
 # dedup family over documents
 # --------------------------------------------------------------------------
 
+def repetition_stats(sf_dir: str):
+    """Intra-document repetition (Gopher-style quality rule): per doc,
+    total vs DISTINCT word 2-/3-grams and the duplicate fraction —
+    the within-doc complement of the cross-doc dedup family."""
+    from hyrise_generalized_dedup_ray.functions.textstats import \
+        repetition_features
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        r = repetition_features(batch.column("text").to_pylist())
+        cols = {"doc_id": batch.column("doc_id")}
+        cols.update({k: pa.array(v, type=I64) for k, v in r.items()})
+        return pa.table(cols)
+
+    return docs.map_batches(feats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def redact_pii(sf_dir: str):
+    """PII redaction: email/phone patterns replaced with placeholder
+    tags, all-RE2 vectorized (pc.replace_substring_regex) — match
+    counts + the redacted text, oracle-parity with DuckDB's
+    regexp_replace(…, 'g')."""
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.column("text")
+        n_email = pc.cast(pc.count_substring_regex(t, email), I64)
+        red = pc.replace_substring_regex(t, email, "<EMAIL>")
+        n_phone = pc.cast(pc.count_substring_regex(red, phone), I64)
+        red = pc.replace_substring_regex(red, phone, "<PHONE>")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_emails": n_email, "n_phones": n_phone,
+            "redacted": red,
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def exact_dedup(sf_dir: str):
     from hyrise_generalized_dedup_ray.pipelines.docs import exact_dedup_docs
     return exact_dedup_docs(load_table(sf_dir, "documents"))
@@ -1159,6 +1204,8 @@ QUERIES = {
     "token_stats": token_stats,
     "quality_filter": quality_filter,
     "lang_id": lang_id,
+    "repetition_stats": repetition_stats,
+    "redact_pii": redact_pii,
     "doc_fingerprints": doc_fingerprints,
     "exact_dedup": exact_dedup,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1468,6 +1515,57 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
         FROM s GROUP BY user_id, sid
+    """,
+    "repetition_stats": """
+        WITH toks AS (
+          SELECT d.doc_id, unnest(d.ts) AS tok,
+                 generate_subscripts(d.ts, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ts
+                FROM documents) d),
+        g2 AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS g
+               FROM toks t1 JOIN toks t2
+                 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1),
+        g3 AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+               FROM toks t1
+               JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+               JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2),
+        a2 AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT g) AS d
+               FROM g2 GROUP BY 1),
+        a3 AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT g) AS d
+               FROM g3 GROUP BY 1)
+        SELECT doc.doc_id,
+               COALESCE(a2.n, 0) AS n_2grams,
+               COALESCE(a2.d, 0) AS n_distinct_2grams,
+               CASE WHEN COALESCE(a2.n, 0) > 0
+                    THEN CAST(FLOOR((a2.n - a2.d) * 1000000.0 / a2.n + 0.5)
+                              AS BIGINT) ELSE 0 END AS dup_2gram_frac_e6,
+               COALESCE(a3.n, 0) AS n_3grams,
+               COALESCE(a3.d, 0) AS n_distinct_3grams,
+               CASE WHEN COALESCE(a3.n, 0) > 0
+                    THEN CAST(FLOOR((a3.n - a3.d) * 1000000.0 / a3.n + 0.5)
+                              AS BIGINT) ELSE 0 END AS dup_3gram_frac_e6
+        FROM documents doc
+        LEFT JOIN a2 ON a2.doc_id = doc.doc_id
+        LEFT JOIN a3 ON a3.doc_id = doc.doc_id
+    """,
+    "redact_pii": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\+?[0-9][0-9\\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        FROM documents
     """,
     "write_path_roundtrip": """
         SELECT n_nationkey, n_name,

@@ -195,6 +195,51 @@ def test_multimodal_resize_and_frame_sample_plumbing(ray_session, sf_dir):
         DecodeBackend("real").sample_frames(b"p", 5)
 
 
+def test_repetition_features_known_values():
+    from hyrise_generalized_dedup_ray.functions.textstats import \
+        repetition_features
+
+    r = repetition_features([
+        "a b a b a b",     # 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+        "x y z",           # 2 total, 2 distinct
+        "w",               # no 2-grams
+    ])
+    assert r["n_2grams"].tolist() == [5, 2, 0]
+    assert r["n_distinct_2grams"].tolist() == [2, 2, 0]
+    # floor((5-2)*1e6/5 + 0.5) = 600000
+    assert r["dup_2gram_frac_e6"].tolist() == [600000, 0, 0]
+
+
+def test_redact_pii_on_synthetic_text(ray_session, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from hyrise_generalized_dedup_ray.pipelines.suite import (ORACLE_SQL,
+                                                              redact_pii)
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["mail me at jo.doe+x@site.org or 555-123 4567 89 ok",
+                 "no pii here", "two mails a@b.co c@d.io"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pa.array([10, 11, 23], type=pa.int64()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "documents.parquet"))
+    out = redact_pii(sf).to_pandas().sort_values("doc_id")
+    assert out["n_emails"].tolist() == [1, 0, 2]
+    assert out["n_phones"].tolist() == [1, 0, 0]
+    assert out["redacted"].iloc[0] == "mail me at <EMAIL> or <PHONE> ok"
+    assert out["redacted"].iloc[2] == "two mails <EMAIL> <EMAIL>"
+    # and the DuckDB twin agrees on the same synthetic table
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(ORACLE_SQL["redact_pii"]).df().sort_values("doc_id")
+    assert exp["redacted"].tolist() == out["redacted"].tolist()
+    assert exp["n_phones"].tolist() == out["n_phones"].tolist()
+
+
 # --- documents dedup family ----------------------------------------------
 
 def test_simhash_blocking_finds_planted_near_dups(ray_session):
