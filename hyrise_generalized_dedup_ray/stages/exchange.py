@@ -537,6 +537,109 @@ def exchange_join(
     return ray.data.from_arrow_refs(out)
 
 
+@ray.remote
+def _group_join(on, right_on, jt, left_suffix, right_suffix,
+                coalesce_keys, per_group, lt: pa.Table,
+                rt: pa.Table) -> list[pa.Table]:
+    """Level-2 of the hierarchical join: split BOTH group tables into
+    their local shards on the (already computed) __pk and join each
+    pair — one task per group, ``per_group`` local Acero joins."""
+    def local(t: pa.Table) -> list[pa.Table]:
+        pk = t.column("__pk").to_numpy(zero_copy_only=False)
+        # re-mix before the modulo: the group id was splitmix64(pk)%G,
+        # so splitmix64(pk)%per_group would CORRELATE with it (all of a
+        # group's rows in one sub-shard when G and per_group share
+        # factors); xor-shifting first decorrelates the two levels
+        mixed = splitmix64(pk.view(np.uint64)
+                           ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+        ids = (mixed % np.uint64(per_group)).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        bounds = np.searchsorted(ids[order], np.arange(per_group + 1))
+        clustered = t.take(pa.array(order))
+        return [clustered.slice(int(bounds[i]),
+                                int(bounds[i + 1] - bounds[i]))
+                for i in range(per_group)]
+
+    lps, rps = local(lt), local(rt)
+    out = []
+    for lp_t, rp_t in zip(lps, rps):
+        l = _norm_float_keys(lp_t.drop_columns(["__pk"]), on)
+        r = _norm_float_keys(rp_t.drop_columns(["__pk"]), right_on)
+        out.append(l.join(r, keys=list(on), right_keys=list(right_on),
+                          join_type=jt, left_suffix=left_suffix,
+                          right_suffix=right_suffix,
+                          coalesce_keys=coalesce_keys, use_threads=False))
+    return out[0] if per_group == 1 else tuple(out)
+
+
+def exchange_join_hierarchical(
+    left: Dataset, right: Dataset, on: Sequence[str],
+    right_on: Sequence[str] | None = None, how: str = "inner",
+    num_partitions: int | None = None, num_groups: int | None = None,
+    left_suffix: str | None = None, right_suffix: str | None = None,
+    map_tasks: int | None = None, coalesce_keys: bool = True,
+) -> Dataset:
+    """Two-level exchange join — the >10³-core variant of
+    :func:`exchange_join` (same semantics, same per-shard Acero join):
+    both sides route level-1 to ``num_groups`` GROUPS on the key hash
+    (M×G objects per side instead of M×S), and each group task splits
+    its two tables into ``num_partitions/num_groups`` local shard pairs
+    and joins them.  Sub-shard assignment inside a group re-mixes the
+    key hash, so equal keys meet by construction."""
+    on = list(on)
+    right_on = list(right_on or on)
+    jt = _ACERO_HOW[how]
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = num_partitions or max(2, cpus)
+    G = num_groups or max(1, int(math.isqrt(P)))
+    if P % G:
+        raise ValueError("num_partitions must be a multiple of num_groups")
+    per_group = P // G
+    lrefs, rrefs = list(left.to_arrow_refs()), list(right.to_arrow_refs())
+    ls, rs = _pa_schema(left, lrefs), _pa_schema(right, rrefs)
+    kinds = [_hash_kind(ls.field(a).type, rs.field(b).type)
+             for a, b in zip(on, right_on)]
+    ls_pk = ls.append(pa.field("__pk", pa.int64()))
+    rs_pk = rs.append(pa.field("__pk", pa.int64()))
+
+    def group_route(base: MapFn) -> MapFn:
+        # route level-1 on hash(key) % G, carried in a SEPARATE column
+        # so __pk (the raw key hash) survives for level 2
+        def fn(t: pa.Table) -> pa.Table:
+            t = base(t)
+            pk = t.column("__pk").to_numpy(zero_copy_only=False)
+            g = partition_ids(pk, G)
+            return t.append_column("__grp", pa.array(g, type=pa.int64()))
+        return fn
+
+    lg = ls_pk.append(pa.field("__grp", pa.int64()))
+    rg = rs_pk.append(pa.field("__grp", pa.int64()))
+    lmap = group_route(_append_pk(on, kinds))
+    rmap = group_route(_append_pk(right_on, kinds))
+    lsh = (_shard_side(lrefs, lmap, "__grp", G, lg, map_tasks=map_tasks,
+                       key_is_shard=True) if lrefs else [])
+    rsh = (_shard_side(rrefs, rmap, "__grp", G, rg, map_tasks=map_tasks,
+                       key_is_shard=True) if rrefs else [])
+    l_empty = ray.put(lg.empty_table())
+    r_empty = ray.put(rg.empty_table())
+    out: list = []
+    for g in range(G):
+        lt = (_concat_shards.remote(*[sl[g] for sl in lsh]) if lsh
+              else l_empty)
+        rt = (_concat_shards.remote(*[sl[g] for sl in rsh]) if rsh
+              else r_empty)
+        parts = _group_join.options(num_returns=per_group).remote(
+            on, right_on, jt, left_suffix, right_suffix, coalesce_keys,
+            per_group, _drop_grp.remote(lt), _drop_grp.remote(rt))
+        out.extend([parts] if per_group == 1 else list(parts))
+    return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _drop_grp(t: pa.Table) -> pa.Table:
+    return t.drop_columns(["__grp"]) if "__grp" in t.column_names else t
+
+
 def split_by_key(table: pa.Table, keys: np.ndarray,
                  num_shards: int, key_is_shard: bool = False) -> list[pa.Table]:
     """Driver-side split of a small table into ``num_shards`` compact

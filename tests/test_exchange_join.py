@@ -136,6 +136,29 @@ def test_semi_anti_size_guard_routes_to_exchange(ray_session, monkeypatch):
     assert ex_semi == base_semi and ex_anti == base_anti
 
 
+def test_hierarchical_join_matches_flat(ray_session):
+    """Two-level join must equal the flat exchange join in every mode,
+    including per_group == 1 and > 1 and empty sides."""
+    from hyrise_generalized_dedup_ray.stages.exchange import \
+        exchange_join_hierarchical
+
+    for how in ["inner", "left_outer", "right_outer", "full_outer"]:
+        flat = exchange_join(_dset(L), _dset(R_), on=["k"],
+                             right_on=["rk"], how=how,
+                             num_partitions=6).to_pandas()
+        for P, G in [(6, 2), (6, 6), (8, 2)]:
+            hier = exchange_join_hierarchical(
+                _dset(L), _dset(R_), on=["k"], right_on=["rk"], how=how,
+                num_partitions=P, num_groups=G).to_pandas()
+            assert _sorted_rows(hier) == _sorted_rows(flat), (how, P, G)
+    # empty left side
+    empty = ray.data.from_arrow(L.schema.empty_table())
+    out = exchange_join_hierarchical(empty, _dset(R_), on=["k"],
+                                     right_on=["rk"], how="right_outer",
+                                     num_partitions=4, num_groups=2)
+    assert out.count() == R_.num_rows
+
+
 try:
     from hypothesis import given, settings, strategies as st
     HAVE_HYP = True
