@@ -878,6 +878,17 @@ def asof_join_events(sf_dir: str):
                           "b_value": "b_value"})
 
 
+def deterministic_sample(sf_dir: str):
+    """Reproducible hash sampling (resume-safe 10% of orders by
+    splitmix64(o_orderkey ^ seed) gate): the same rows come back
+    regardless of partitioning, re-runs, or resumption — what a
+    training-data subset needs, unlike Dataset.random_sample."""
+    from hyrise_generalized_dedup_ray.relational.operators import hash_sample
+
+    o = load_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return hash_sample(o, "o_orderkey", rate_ppm=100_000, seed=7)
+
+
 def write_path_roundtrip(sf_dir: str):
     """Write path §2.9 (insert.cpp / delete.cpp / update.cpp recast as
     snapshot-versioned parquet, relational/writeops.py): CREATE TABLE AS
@@ -1230,6 +1241,7 @@ QUERIES = {
     "window_hopping_events": window_hopping_events,
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
+    "deterministic_sample": deterministic_sample,
     "write_path_roundtrip": write_path_roundtrip,
     "meta_segments": meta_segments,
     "meta_segments_accurate": meta_segments_accurate,
@@ -1759,4 +1771,37 @@ def _lang_id_oracle() -> str:
 
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()
+
+
+def _sample_oracle() -> str:
+    """SQL twin of relational.operators.hash_sample: splitmix64 in
+    DuckDB via 128-bit limb arithmetic (HUGEINT overflows on a full
+    64×64 product, so each multiply splits the constant into 32-bit
+    halves) — verified bit-for-bit against the numpy kernel."""
+    import numpy as np
+    from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
+
+    M = 18446744073709551616  # 2^64
+
+    def mulmod(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (f"CAST(((CAST({a} AS HUGEINT) * {lo}) % {M} + "
+                f"(((CAST({a} AS HUGEINT) % 4294967296) * {hi})"
+                f" % 4294967296) * 4294967296) % {M} AS UBIGINT)")
+
+    # finalizer: a=x+C1; b=(a^a>>30)*C2; c=(b^b>>27)*C3; h=c^c>>31
+    def splitmix_sql(x: str) -> str:
+        a = (f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485)"
+             f" % {M} AS UBIGINT)")
+        b = mulmod(f"xor({a}, {a} >> 30)", 0xBF58476D1CE4E5B9)
+        c = mulmod(f"xor({b}, {b} >> 27)", 0x94D049BB133111EB)
+        return f"xor({c}, {c} >> 31)"
+
+    salt = int(splitmix64(np.array([7], dtype=np.uint64))[0])
+    gate = splitmix_sql(f"xor(CAST(o_orderkey AS UBIGINT), {salt})")
+    return (f"SELECT o_orderkey, o_totalprice FROM orders "
+            f"WHERE {gate} % 1000000 < 100000")
+
+
+ORACLE_SQL["deterministic_sample"] = _sample_oracle()
 # meta_system_information is host-dependent → rows-only, no oracle.

@@ -14,10 +14,9 @@ from hyrise_generalized_dedup_ray.relational.expressions import (  # noqa: F401
 )
 from hyrise_generalized_dedup_ray.relational.operators import (  # noqa: F401
     agg, aggregate, alias, anti_join, band_join, broadcast_join, difference,
-    distinct, exists_join, hash_join, intersect, limit,
-    multi_predicate_join, print_table,
-    print_table, product, projection, semi_join, sort, table_scan,
-    theta_join, top_k, union_all, union_distinct,
+    distinct, exists_join, hash_join, hash_sample, intersect, limit,
+    multi_predicate_join, print_table, product, projection, semi_join,
+    sort, table_scan, theta_join, top_k, union_all, union_distinct,
 )
 from hyrise_generalized_dedup_ray.relational.catalog import (  # noqa: F401
     export_table, export_tbl, import_file, load_table, load_tbl,

@@ -707,6 +707,33 @@ def product(left: Dataset, right: pa.Table) -> Dataset:
                             zero_copy_batch=True, concurrency=(1, 4))
 
 
+def hash_sample(ds: Dataset, id_col: str, rate_ppm: int,
+                seed: int = 0) -> Dataset:
+    """Deterministic hash sampling (§2.7 sampling, recast for
+    training-data pipelines): keep rows where
+    ``splitmix64(id ^ mix(seed)) % 1e6 < rate_ppm``.
+
+    Unlike ``Dataset.random_sample`` this is REPRODUCIBLE and
+    RESUME-SAFE: membership depends only on (id, seed), so a re-run, a
+    different partitioning, or a resumed job selects the same rows —
+    the property a training-data subset needs.  ``id_col`` must be
+    non-negative int64 (SQL twin computes the same splitmix64 via
+    128-bit limb arithmetic)."""
+    from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
+
+    salt = np.uint64(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    rate = np.uint64(int(rate_ppm))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False).view(np.uint64)
+        h = splitmix64(ids ^ salt)
+        return batch.filter(pa.array(h % np.uint64(1_000_000) < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def print_table(ds: Dataset, n: int = 20) -> str:
     """Print operator (print.hpp:22): human-readable preview of the
     first ``n`` rows with the schema header, as a string (the reference

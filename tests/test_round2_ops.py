@@ -83,6 +83,24 @@ def test_broadcast_join_rejects_outer_modes(ray_session):
 
 # ------------------------------------------------------------ band join
 
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from hyrise_generalized_dedup_ray.relational.operators import hash_sample
+
+    ids = pa.table({"id": pa.array(np.arange(20_000), type=pa.int64())})
+    a = hash_sample(ray.data.from_arrow(ids).repartition(3),
+                    "id", rate_ppm=250_000, seed=11).to_pandas()
+    b = hash_sample(ray.data.from_arrow(ids).repartition(17),
+                    "id", rate_ppm=250_000, seed=11).to_pandas()
+    c = hash_sample(ray.data.from_arrow(ids), "id",
+                    rate_ppm=250_000, seed=12).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])       # partition-invariant
+    assert 0.23 < len(a) / 20_000 < 0.27            # ~rate
+    assert sorted(c["id"]) != sorted(a["id"])       # seed changes the set
+
+
 def test_band_join_matches_bruteforce(ray_session):
     rng = np.random.default_rng(7)
     ak = rng.integers(0, 1000, 300)
