@@ -64,12 +64,18 @@ def main(argv=None) -> int:
         from hyrise_generalized_dedup_ray.relational.operators import \
             print_table
 
+        import pyarrow as _pa
+        import ray.data
+
         t0 = time.perf_counter()
         res = QUERIES[args.query](args.sf_dir)
-        if not hasattr(res, "schema"):  # pandas / arrow result
-            import ray.data
-            res = ray.data.from_pandas(res) if hasattr(res, "iloc") \
-                else ray.data.from_arrow(res)
+        if isinstance(res, _pa.Table):
+            res = ray.data.from_arrow(res)
+        elif not isinstance(res, ray.data.Dataset):  # pandas
+            res = ray.data.from_pandas(res)
+        # pin once: preview, count and export read ONE cached result
+        # instead of re-executing the whole pipeline per consumer
+        res = res.materialize()
         print(print_table(res, n=args.limit))
         n = res.count()
         print(f"-- {n} rows in {time.perf_counter() - t0:.2f}s")

@@ -285,3 +285,24 @@ def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
         return 0.0
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (len(a) + len(b) - inter)
+
+
+def distinct_shingles(texts, n: int):
+    """Per-document DISTINCT word-n-gram hashes, flattened:
+    ``(doc_idx, gram_hash, per_doc_distinct_count, per_doc_total)`` —
+    the shared kernel behind the prefix-filter set-similarity join
+    (stages/setsim.py) and the intra-doc repetition stats
+    (functions/textstats.repetition_features).  One shingle pass, then
+    per-doc dedup via lexsort boundaries."""
+    texts = list(texts)
+    ndocs = len(texts)
+    flat, off = batch_shingles(texts, n)
+    total = np.diff(off).astype(np.int64)
+    doc_idx = np.repeat(np.arange(ndocs), total)
+    order = np.lexsort((flat, doc_idx))
+    d_s, f_s = doc_idx[order], flat[order]
+    keep = np.ones(len(f_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+    d_u, f_u = d_s[keep], f_s[keep]
+    distinct = np.bincount(d_u, minlength=ndocs).astype(np.int64)
+    return d_u, f_u, distinct, total

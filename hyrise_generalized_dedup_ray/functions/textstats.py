@@ -112,20 +112,12 @@ def repetition_features(texts, ns=(2, 3)) -> dict[str, np.ndarray]:
     distinct via lexsort boundaries; n-gram identity is the 64-bit
     polynomial token hash (collision odds ~1e-13 per doc, same
     determinism note as stages/setsim.py)."""
-    from hyrise_generalized_dedup_ray.functions.text import batch_shingles
+    from hyrise_generalized_dedup_ray.functions.text import distinct_shingles
 
     out: dict[str, np.ndarray] = {}
     texts = list(texts)
-    ndocs = len(texts)
     for n in ns:
-        flat, off = batch_shingles(texts, n)
-        total = np.diff(off)
-        doc_idx = np.repeat(np.arange(ndocs), total)
-        order = np.lexsort((flat, doc_idx))
-        d_s, f_s = doc_idx[order], flat[order]
-        keep = np.ones(len(f_s), dtype=bool)
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
-        distinct = np.bincount(d_s[keep], minlength=ndocs)
+        _, _, distinct, total = distinct_shingles(texts, n)
         denom = np.maximum(total, 1).astype(np.float64)
         frac = np.floor((total - distinct) * 1_000_000.0 / denom + 0.5)
         out[f"n_{n}grams"] = total.astype(np.int64)

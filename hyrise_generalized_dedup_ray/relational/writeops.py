@@ -82,9 +82,18 @@ def _write_data_files(tdir: str, ds: Dataset) -> tuple[list[str], int]:
     sub = f"data-{uuid.uuid4().hex[:12]}"
     out = os.path.join(tdir, sub)
     ds = ds.materialize()
-    ds.write_parquet(out)
+    n = ds.count()
+    if n == 0:
+        # write_parquet creates no directory for zero rows; a DELETE
+        # matching everything must still commit an (empty) version
+        os.makedirs(out, exist_ok=True)
+        sch = ds.schema()
+        sch = getattr(sch, "base_schema", sch)
+        pq.write_table(sch.empty_table(), os.path.join(out, "empty.parquet"))
+    else:
+        ds.write_parquet(out)
     files = sorted(os.path.join(sub, f) for f in os.listdir(out))
-    return files, ds.count()
+    return files, n
 
 
 def create_table(root: str, name: str, ds: Dataset | pa.Table | None = None,
@@ -168,12 +177,16 @@ def update_where(root: str, name: str, predicate, assignments: dict) -> int:
 
     def apply(batch: pa.Table) -> pa.Table:
         mask = pc.fill_null(predicate(batch), False)
+        # SQL UPDATE evaluates EVERY right-hand side against the OLD
+        # row (a,b = b,a swaps); compute all values first, then assign
+        values = {}
         for col_name, expr in assignments.items():
             new = expr(batch) if callable(expr) else expr
             if not isinstance(new, (pa.Array, pa.ChunkedArray)):
                 new = pa.array([new] * batch.num_rows)
+            values[col_name] = pc.cast(new, batch.column(col_name).type)
+        for col_name, new in values.items():
             old = batch.column(col_name)
-            new = pc.cast(new, old.type)
             batch = batch.set_column(
                 batch.column_names.index(col_name), col_name,
                 pc.if_else(mask, new, old))

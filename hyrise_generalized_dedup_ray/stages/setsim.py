@@ -65,16 +65,12 @@ def _distinct_gram_rows(text_col: str, id_col: str, n: int):
     gram count."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        from hyrise_generalized_dedup_ray.functions.text import \
+            distinct_shingles
+
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        flat, off = batch_shingles(texts, n)
-        doc_idx = np.repeat(np.arange(len(ids)), np.diff(off))
-        order = np.lexsort((flat, doc_idx))
-        d_s, f_s = doc_idx[order], flat[order]
-        keep = np.ones(len(f_s), dtype=bool)
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
-        d_u, f_u = d_s[keep], f_s[keep]
-        sizes = np.bincount(d_u, minlength=len(ids))
+        d_u, f_u, sizes, _ = distinct_shingles(texts, n)
         return pa.Table.from_arrays(
             [pa.array(f_u.view(np.int64), type=_I64),
              pa.array(ids[d_u], type=_I64),
@@ -191,8 +187,7 @@ def exact_jaccard_join(docs: Dataset, text_col: str = "text",
                          P, _G_SCHEMA)
     pairs = dedupe_pairs(cand, num_partitions=P)
 
-    if id_col != "doc_id":
-        pairs = pairs  # attach_texts expects docs keyed by doc_id
+    if id_col != "doc_id":  # attach_texts expects docs keyed by doc_id
         doc2 = doc2.rename_columns({id_col: "doc_id"})
     if text_col != "text":
         doc2 = doc2.rename_columns({text_col: "text"})

@@ -27,3 +27,10 @@ def test_console_run_preview_and_export(ray_session, sf_dir, tmp_path,
     assert os.path.isdir(out_dir) and os.listdir(out_dir)
     import ray
     assert ray.is_initialized()  # console must NOT tear down our session
+
+
+def test_console_run_arrow_table_query(ray_session, sf_dir, capsys):
+    # meta_* queries return a bare pyarrow.Table — the conversion must
+    # key on the type, not hasattr('schema') (pa.Table has one too)
+    assert main(["run", "meta_plugins", sf_dir, "--limit", "2"]) == 0
+    assert "plugin_name" in capsys.readouterr().out

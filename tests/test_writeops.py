@@ -67,6 +67,24 @@ def test_create_empty_with_schema_and_drop(ray_session, root):
     W.drop_table(root, "e", if_exists=True)  # no-op
 
 
+def test_delete_all_rows_commits_empty_version(ray_session, root):
+    W.create_table(root, "t", T0)
+    v = W.delete_where(root, "t", col("k") >= lit(0))
+    assert v == 1 and W.read_table(root, "t").count() == 0
+    # the empty version is a real snapshot: inserts continue from it
+    W.insert_into(root, "t", T0)
+    assert W.read_table(root, "t").count() == 3
+
+
+def test_update_swap_uses_old_row_values(ray_session, root):
+    # SQL UPDATE t SET k = v, v = k evaluates both RHS on the OLD row
+    W.create_table(root, "s", pa.table({"k": [1], "v": [2]}))
+    W.update_where(root, "s", col("k") == lit(1),
+                   {"k": col("v"), "v": col("k")})
+    df = W.read_table(root, "s").to_pandas()
+    assert df["k"].tolist() == [2] and df["v"].tolist() == [1]
+
+
 def test_create_duplicate_rejected(ray_session, root):
     W.create_table(root, "t", T0)
     with pytest.raises(ValueError):
