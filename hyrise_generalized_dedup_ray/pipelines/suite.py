@@ -878,6 +878,27 @@ def asof_join_events(sf_dir: str):
                           "b_value": "b_value"})
 
 
+def window_functions_events(sf_dir: str):
+    """Partitioned window functions (beyond the reference's SQL
+    surface; SQL-standard semantics): per user ordered by (ts,
+    event_id) — row_number, rank on ts, lag(value), running
+    sum(value) — ONE exchange on user_id + a lexsort/boundary kernel."""
+    from hyrise_generalized_dedup_ray.relational.window import window_over
+
+    ev = load_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    w = window_over(ev, "user_id", ["ts", "event_id"], {
+        "rn": ("row_number", None),
+        "rk": ("rank", None),
+        "prev_value": ("lag", "value"),
+        "running_value": ("cumsum", "value"),
+    }, rank_keys=1)
+    return projection(w, {"event_id": "event_id", "user_id": "user_id",
+                          "rn": "rn", "rk": "rk",
+                          "prev_value": "prev_value",
+                          "running_c": _e_int("running_value")})
+
+
 def deterministic_sample(sf_dir: str):
     """Reproducible hash sampling (resume-safe 10% of orders by
     splitmix64(o_orderkey ^ seed) gate): the same rows come back
@@ -1241,6 +1262,7 @@ QUERIES = {
     "window_hopping_events": window_hopping_events,
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
+    "window_functions_events": window_functions_events,
     "deterministic_sample": deterministic_sample,
     "write_path_roundtrip": write_path_roundtrip,
     "meta_segments": meta_segments,
@@ -1578,6 +1600,17 @@ ORACLE_SQL = {
                    '<EMAIL>', 'g'),
                  '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         FROM documents
+    """,
+    "window_functions_events": """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rk,
+               LAG(value) OVER w AS prev_value,
+               CAST(ROUND(SUM(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    * 100) AS BIGINT) AS running_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "write_path_roundtrip": """
         SELECT n_nationkey, n_name,
