@@ -910,6 +910,19 @@ def deterministic_sample(sf_dir: str):
     return hash_sample(o, "o_orderkey", rate_ppm=100_000, seed=7)
 
 
+def stratified_sample_docs(sf_dir: str):
+    """Data-mixing: per-language sampling rates over documents (50% en,
+    20% de, 5% everything else) with the same reproducible splitmix
+    gate as deterministic_sample."""
+    from hyrise_generalized_dedup_ray.relational.operators import \
+        stratified_sample
+
+    d = load_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(d, "doc_id", "lang",
+                             {"en": 500_000, "de": 200_000},
+                             default_ppm=50_000, seed=3)
+
+
 def write_path_roundtrip(sf_dir: str):
     """Write path §2.9 (insert.cpp / delete.cpp / update.cpp recast as
     snapshot-versioned parquet, relational/writeops.py): CREATE TABLE AS
@@ -1264,6 +1277,7 @@ QUERIES = {
     "asof_join_events": asof_join_events,
     "window_functions_events": window_functions_events,
     "deterministic_sample": deterministic_sample,
+    "stratified_sample_docs": stratified_sample_docs,
     "write_path_roundtrip": write_path_roundtrip,
     "meta_segments": meta_segments,
     "meta_segments_accurate": meta_segments_accurate,
@@ -1806,14 +1820,11 @@ def _lang_id_oracle() -> str:
 ORACLE_SQL["lang_id"] = _lang_id_oracle()
 
 
-def _sample_oracle() -> str:
-    """SQL twin of relational.operators.hash_sample: splitmix64 in
-    DuckDB via 128-bit limb arithmetic (HUGEINT overflows on a full
-    64×64 product, so each multiply splits the constant into 32-bit
-    halves) — verified bit-for-bit against the numpy kernel."""
-    import numpy as np
-    from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
-
+def _splitmix_sql(x: str) -> str:
+    """splitmix64 in DuckDB SQL via 128-bit limb arithmetic (HUGEINT
+    overflows on a full 64×64 product, so each multiply splits the
+    constant into 32-bit halves) — verified bit-for-bit against the
+    numpy kernel.  SQL twin of functions/hashing.splitmix64."""
     M = 18446744073709551616  # 2^64
 
     def mulmod(a: str, c: int) -> str:
@@ -1823,18 +1834,29 @@ def _sample_oracle() -> str:
                 f" % 4294967296) * 4294967296) % {M} AS UBIGINT)")
 
     # finalizer: a=x+C1; b=(a^a>>30)*C2; c=(b^b>>27)*C3; h=c^c>>31
-    def splitmix_sql(x: str) -> str:
-        a = (f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485)"
-             f" % {M} AS UBIGINT)")
-        b = mulmod(f"xor({a}, {a} >> 30)", 0xBF58476D1CE4E5B9)
-        c = mulmod(f"xor({b}, {b} >> 27)", 0x94D049BB133111EB)
-        return f"xor({c}, {c} >> 31)"
-
-    salt = int(splitmix64(np.array([7], dtype=np.uint64))[0])
-    gate = splitmix_sql(f"xor(CAST(o_orderkey AS UBIGINT), {salt})")
-    return (f"SELECT o_orderkey, o_totalprice FROM orders "
-            f"WHERE {gate} % 1000000 < 100000")
+    a = (f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485)"
+         f" % {M} AS UBIGINT)")
+    b = mulmod(f"xor({a}, {a} >> 30)", 0xBF58476D1CE4E5B9)
+    c = mulmod(f"xor({b}, {b} >> 27)", 0x94D049BB133111EB)
+    return f"xor({c}, {c} >> 31)"
 
 
-ORACLE_SQL["deterministic_sample"] = _sample_oracle()
+def _sample_gate_sql(id_col: str, seed: int) -> str:
+    import numpy as np
+    from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
+
+    salt = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    h = _splitmix_sql(f"xor(CAST({id_col} AS UBIGINT), {salt})")
+    return f"({h} % 1000000)"
+
+
+ORACLE_SQL["deterministic_sample"] = (
+    f"SELECT o_orderkey, o_totalprice FROM orders "
+    f"WHERE {_sample_gate_sql('o_orderkey', 7)} < 100000")
+
+ORACLE_SQL["stratified_sample_docs"] = (
+    f"SELECT doc_id, lang FROM documents "
+    f"WHERE {_sample_gate_sql('doc_id', 3)} < "
+    f"CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
+    f"ELSE 50000 END")
 # meta_system_information is host-dependent → rows-only, no oracle.

@@ -734,6 +734,35 @@ def hash_sample(ds: Dataset, id_col: str, rate_ppm: int,
                           zero_copy_batch=True)
 
 
+def stratified_sample(ds: Dataset, id_col: str, group_col: str,
+                      rates_ppm: dict[str, int], default_ppm: int = 0,
+                      seed: int = 0) -> Dataset:
+    """Per-group deterministic sampling — the data-mixing primitive: a
+    ppm rate per ``group_col`` value (e.g. per source/language), same
+    splitmix64(id ^ seed) gate as :func:`hash_sample`, so membership is
+    reproducible and resume-safe AND independent of the group column
+    (re-labeling a doc's source never changes which ids are eligible —
+    the gate draws once per id, each group just cuts it at its own
+    rate)."""
+    from hyrise_generalized_dedup_ray.functions.hashing import splitmix64
+
+    salt = np.uint64(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    rates = dict(rates_ppm)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False).view(np.uint64)
+        draw = (splitmix64(ids ^ salt) % np.uint64(1_000_000)) \
+            .astype(np.int64)
+        groups = batch.column(group_col).to_pylist()
+        cut = np.fromiter((rates.get(g, default_ppm) for g in groups),
+                          dtype=np.int64, count=len(groups))
+        return batch.filter(pa.array(draw < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def print_table(ds: Dataset, n: int = 20) -> str:
     """Print operator (print.hpp:22): human-readable preview of the
     first ``n`` rows with the schema header, as a string (the reference
