@@ -135,11 +135,22 @@ def window_over(
                 arrs[name] = pc.if_else(pa.array(valid), shifted,
                                         pa.nulls(n, type=col_.type))
             elif fn == "cumsum":
-                v = pc.cast(t.column(on), pa.float64()) \
-                    .to_numpy(zero_copy_only=False)
-                cs = np.cumsum(v)
-                base = np.concatenate([[0.0], cs])[starts][group_of]
+                col_ = t.column(on)
                 out_t = out_schema.field(name).type
+                if (pa.types.is_integer(col_.type)
+                        and col_.null_count == 0):
+                    # accumulate natively in int64: float64 loses
+                    # exactness past 2^53 on large running sums
+                    v = pc.cast(col_, pa.int64()) \
+                        .to_numpy(zero_copy_only=False)
+                    cs = np.cumsum(v)
+                    base = np.concatenate(
+                        [np.zeros(1, np.int64), cs])[starts][group_of]
+                else:
+                    v = pc.cast(col_, pa.float64()) \
+                        .to_numpy(zero_copy_only=False)
+                    cs = np.cumsum(v)
+                    base = np.concatenate([[0.0], cs])[starts][group_of]
                 arrs[name] = pc.cast(pa.array(cs - base), out_t)
         cols = []
         for f in out_schema:

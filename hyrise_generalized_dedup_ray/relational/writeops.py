@@ -93,6 +93,19 @@ def _write_data_files(tdir: str, ds: Dataset) -> tuple[list[str], int]:
     else:
         ds.write_parquet(out)
     files = sorted(os.path.join(sub, f) for f in os.listdir(out))
+    # the file list comes from a driver-side listdir, which requires the
+    # table root to live on storage shared by every worker (object store
+    # / NFS on a real cluster).  Verify the manifest covers every row:
+    # if workers wrote files the driver cannot see, fail loudly instead
+    # of committing a silently inconsistent snapshot.
+    if n > 0:
+        covered = sum(pq.ParquetFile(os.path.join(tdir, f))
+                      .metadata.num_rows for f in files)
+        if covered != n:
+            raise RuntimeError(
+                f"snapshot manifest covers {covered} of {n} rows — the "
+                "table root must be on a filesystem shared between the "
+                "driver and all workers")
     return files, n
 
 

@@ -334,20 +334,66 @@ _ACERO_HOW = {
 _NULL_I64 = np.int64(-0x6A09E667F3BCC909)  # arbitrary sentinel shard key
 
 
+def _type_kind(t: pa.DataType) -> str:
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t) or pa.types.is_time(t):
+        return "temporal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return f"other:{t}"
+
+
 def _hash_kind(lt: pa.DataType, rt: pa.DataType) -> str:
     """Normalization for one key position so that values Acero treats
     as equal hash identically on BOTH sides."""
-    def kind(t):
-        if pa.types.is_integer(t) or pa.types.is_boolean(t):
-            return "int"
-        if pa.types.is_floating(t):
-            return "float"
-        if (pa.types.is_timestamp(t) or pa.types.is_date(t)
-                or pa.types.is_time(t)):
-            return "temporal"
-        return "str"
-    kl, kr = kind(lt), kind(rt)
-    return kl if kl == kr else "str"
+    kl, kr = _type_kind(lt), _type_kind(rt)
+    k = kl if kl == kr else "str"
+    return {"ts": "temporal"}.get(k, k if not k.startswith("other") else "str")
+
+
+def _common_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType | None:
+    """Cast target that makes one key position joinable by the
+    per-shard Acero join (which requires EXACTLY equal types on both
+    sides), or None when the types already match.  Same-kind pairs
+    widen (int32↔int64 → int64, float32↔float64 → float64,
+    string↔large_string → large_string, mixed timestamp units → the
+    finer unit — which also makes equal instants hash equal).
+    Cross-kind pairs (int vs float, numeric vs string, ...) raise a
+    driver-side TypeError instead of failing deep inside a Ray task."""
+    if lt.equals(rt):
+        return None
+    kl, kr = _type_kind(lt), _type_kind(rt)
+    if kl != kr or kl.startswith("other"):
+        raise TypeError(
+            f"exchange_join: incompatible key types {lt} vs {rt}; "
+            "cast one side explicitly before joining")
+    if kl == "int":
+        return pa.int64()
+    if kl == "float":
+        return pa.float64()
+    if kl == "ts":
+        units = ["s", "ms", "us", "ns"]
+        u = units[max(units.index(lt.unit), units.index(rt.unit))]
+        return pa.timestamp(u, tz=lt.tz or rt.tz)
+    if kl == "temporal":
+        raise TypeError(
+            f"exchange_join: incompatible key types {lt} vs {rt}; "
+            "cast one side explicitly before joining")
+    return pa.large_string()
+
+
+def _with_key_types(schema: pa.Schema, on: Sequence[str],
+                    casts: Sequence[pa.DataType | None]) -> pa.Schema:
+    for c, ct in zip(on, casts):
+        if ct is not None:
+            i = schema.get_field_index(c)
+            schema = schema.set(i, pa.field(c, ct))
+    return schema
 
 
 def _key_hash_column(t: pa.Table, on: Sequence[str],
@@ -380,12 +426,18 @@ def _key_hash_column(t: pa.Table, on: Sequence[str],
     return h
 
 
-def _append_pk(on: Sequence[str], kinds: Sequence[str]) -> MapFn:
+def _append_pk(on: Sequence[str], kinds: Sequence[str],
+               casts: Sequence[pa.DataType | None] | None = None) -> MapFn:
     on, kinds = list(on), list(kinds)
+    casts = list(casts) if casts is not None else [None] * len(on)
 
     def fn(t: pa.Table) -> pa.Table:
         if "__pk" in t.column_names:
             t = t.drop_columns(["__pk"])
+        for c, ct in zip(on, casts):
+            if ct is not None:
+                t = t.set_column(t.column_names.index(c), c,
+                                 pc.cast(t.column(c), ct))
         h = _key_hash_column(t, on, kinds)
         return t.append_column(
             "__pk", pa.array(h.view(np.int64), type=pa.int64()))
@@ -420,8 +472,15 @@ def _join_reduce(n_left: int, on, right_on, join_type: str,
                  join_type=join_type, left_suffix=left_suffix,
                  right_suffix=right_suffix, coalesce_keys=coalesce_keys,
                  use_threads=False)
-    if salted and "__salt" in out.column_names:
-        out = out.drop_columns(["__salt"])
+    if salted:
+        # with coalesce_keys=False Acero keeps BOTH sides' key columns
+        # (possibly suffixed, possibly two columns both named __salt) —
+        # drop every salt column by position, not by (ambiguous) name
+        names = {"__salt", f"__salt{left_suffix or ''}",
+                 f"__salt{right_suffix or ''}"}
+        for i in reversed([i for i, n in enumerate(out.column_names)
+                           if n in names]):
+            out = out.remove_column(i)
     return out
 
 
@@ -507,13 +566,18 @@ def exchange_join(
         raise ValueError("salt is not valid for right/full outer joins")
     lrefs, rrefs = list(left.to_arrow_refs()), list(right.to_arrow_refs())
     ls, rs = _pa_schema(left, lrefs), _pa_schema(right, rrefs)
+    casts = [_common_key_type(ls.field(a).type, rs.field(b).type)
+             for a, b in zip(on, right_on)]
+    ls = _with_key_types(ls, on, casts)
+    rs = _with_key_types(rs, right_on, casts)
     kinds = [_hash_kind(ls.field(a).type, rs.field(b).type)
              for a, b in zip(on, right_on)]
     cpus = int(ray.cluster_resources().get("CPU", 8))
     P = num_partitions or max(2, cpus)
     ls_pk = ls.append(pa.field("__pk", pa.int64()))
     rs_pk = rs.append(pa.field("__pk", pa.int64()))
-    lmap, rmap = _append_pk(on, kinds), _append_pk(right_on, kinds)
+    lmap = _append_pk(on, kinds, casts)
+    rmap = _append_pk(right_on, kinds, casts)
     if salt and salt > 1:
         lmap, rmap = _salted_maps(lmap, rmap, int(salt))
         ls_pk = ls_pk.append(pa.field("__salt", pa.int64()))
@@ -597,6 +661,10 @@ def exchange_join_hierarchical(
     per_group = P // G
     lrefs, rrefs = list(left.to_arrow_refs()), list(right.to_arrow_refs())
     ls, rs = _pa_schema(left, lrefs), _pa_schema(right, rrefs)
+    casts = [_common_key_type(ls.field(a).type, rs.field(b).type)
+             for a, b in zip(on, right_on)]
+    ls = _with_key_types(ls, on, casts)
+    rs = _with_key_types(rs, right_on, casts)
     kinds = [_hash_kind(ls.field(a).type, rs.field(b).type)
              for a, b in zip(on, right_on)]
     ls_pk = ls.append(pa.field("__pk", pa.int64()))
@@ -614,8 +682,8 @@ def exchange_join_hierarchical(
 
     lg = ls_pk.append(pa.field("__grp", pa.int64()))
     rg = rs_pk.append(pa.field("__grp", pa.int64()))
-    lmap = group_route(_append_pk(on, kinds))
-    rmap = group_route(_append_pk(right_on, kinds))
+    lmap = group_route(_append_pk(on, kinds, casts))
+    rmap = group_route(_append_pk(right_on, kinds, casts))
     lsh = (_shard_side(lrefs, lmap, "__grp", G, lg, map_tasks=map_tasks,
                        key_is_shard=True) if lrefs else [])
     rsh = (_shard_side(rrefs, rmap, "__grp", G, rg, map_tasks=map_tasks,

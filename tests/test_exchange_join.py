@@ -231,3 +231,61 @@ def test_exchange_join_salted_matches_unsalted(ray_session, how):
     with pytest.raises(ValueError):
         exchange_join(_dset(lt), _dset(rt), on=["k"], right_on=["k2"],
                       how="full_outer", salt=4)
+
+
+def test_exchange_join_salted_coalesce_false_and_suffixes(ray_session):
+    """ADVICE fix: salt must compose with coalesce_keys=False (Acero
+    emits TWO __salt key columns) and with explicit suffixes (the salt
+    columns come back renamed) — no KeyError, no leaked salt columns."""
+    lt = pa.table({"k": [7] * 100 + [1], "i": list(range(101))})
+    rt = pa.table({"k2": [7, 1, 9], "tag": ["a", "c", "d"]})
+    base = exchange_join(_dset(lt), _dset(rt), on=["k"], right_on=["k2"],
+                         num_partitions=4, coalesce_keys=False,
+                         left_suffix="_l", right_suffix="_r").to_pandas()
+    for kwargs in (dict(coalesce_keys=False),
+                   dict(coalesce_keys=False, left_suffix="_l",
+                        right_suffix="_r"),
+                   dict(left_suffix="_l", right_suffix="_r")):
+        out = exchange_join(_dset(lt), _dset(rt), on=["k"],
+                            right_on=["k2"], num_partitions=4, salt=3,
+                            **kwargs)
+        sp = out.to_pandas()
+        assert not any(c.startswith("__salt") for c in sp.columns), kwargs
+        assert len(sp) == len(base)
+        assert sorted(sp["i"]) == sorted(base["i"])
+
+
+def test_exchange_join_cross_width_keys_widen(ray_session):
+    """Same-kind key types of different widths widen instead of
+    crashing inside the per-shard Acero join."""
+    lt = pa.table({"k": pa.array([1, 2, 3], pa.int32()), "a": [10, 20, 30]})
+    rt = pa.table({"k": pa.array([2, 3, 4], pa.int64()), "b": [1, 2, 3]})
+    out = exchange_join(_dset(lt), _dset(rt), on=["k"],
+                        num_partitions=3).to_pandas()
+    assert sorted(out["a"]) == [20, 30]
+    # string vs large_string
+    l2 = pa.table({"k": pa.array(["a", "b"], pa.large_string()), "a": [1, 2]})
+    r2 = pa.table({"k": pa.array(["b", "c"], pa.string()), "b": [5, 6]})
+    out2 = exchange_join(_dset(l2), _dset(r2), on=["k"],
+                         num_partitions=2).to_pandas()
+    assert list(out2["a"]) == [2]
+    # mixed timestamp units: equal instants must match
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    l3 = pa.table({"k": pa.array([t0], pa.timestamp("s")), "a": [1]})
+    r3 = pa.table({"k": pa.array([t0], pa.timestamp("us")), "b": [9]})
+    out3 = exchange_join(_dset(l3), _dset(r3), on=["k"],
+                         num_partitions=2).to_pandas()
+    assert len(out3) == 1
+
+
+def test_exchange_join_cross_kind_keys_raise_driver_side(ray_session):
+    """Cross-kind key types fail fast with a driver-side TypeError, not
+    an ArrowInvalid buried in a Ray task."""
+    lt = pa.table({"k": [1, 2], "a": [1, 2]})
+    rt = pa.table({"k": ["1", "2"], "b": [1, 2]})
+    with pytest.raises(TypeError, match="incompatible key types"):
+        exchange_join(_dset(lt), _dset(rt), on=["k"], num_partitions=2)
+    rf = pa.table({"k": [1.0, 2.0], "b": [1, 2]})
+    with pytest.raises(TypeError, match="incompatible key types"):
+        exchange_join(_dset(lt), _dset(rf), on=["k"], num_partitions=2)

@@ -55,3 +55,16 @@ def test_window_over_matches_duckdb(ray_session):
     assert out["rk"].tolist()[:4] == [1, 1, 3, 4]
     assert out["dr"].tolist()[:4] == [1, 1, 2, 3]
     assert pd.isna(out["pv"].iloc[4])  # single-row partition p=2
+
+
+def test_cumsum_int64_exact_past_2_53(ray_session):
+    """ADVICE fix: integer cumsum accumulates natively in int64 —
+    running sums beyond 2^53 stay exact (float64 would round)."""
+    big = (1 << 53) + 1  # not representable in float64
+    t = pa.table({"p": [0, 0, 0], "o": [1, 2, 3],
+                  "v": pa.array([big, 1, 1], pa.int64())})
+    out = window_over(
+        ray.data.from_arrow(t), "p", ["o"], {"cs": ("cumsum", "v")},
+        num_partitions=2,
+    ).to_pandas().sort_values("o")
+    assert out["cs"].tolist() == [big, big + 1, big + 2]
