@@ -151,6 +151,20 @@ def _edge_branches(
 BROADCAST_LABELS_MAX = 50_000_000
 
 
+@ray.remote
+def _build_label_index(refs: list) -> dict:
+    """(doc_id, cluster) blocks → sorted lookup arrays, concatenated
+    inside a task so the driver never materializes the labels."""
+    tables = [t for t in ray.get(list(refs)) if t.num_columns > 0]
+    lt = pa.concat_tables(tables) if tables else pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "cluster": pa.array([], type=pa.int64())})
+    ids = lt.column("doc_id").to_numpy(zero_copy_only=False)
+    cl = lt.column("cluster").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    return {"ids": ids[order], "cl": cl[order]}
+
+
 def _attach_labels(universe: Dataset, labels: Dataset,
                    join_partitions: int) -> Dataset:
     """(url, doc_id) × (doc_id, cluster) → (url, doc_id, cluster) with
@@ -160,15 +174,10 @@ def _attach_labels(universe: Dataset, labels: Dataset,
     # pin: count + the chosen strategy both consume `labels`
     labels = labels.materialize()
     if labels.count() <= BROADCAST_LABELS_MAX:
-        tables = [t for t in ray.get(labels.to_arrow_refs())
-                  if t.num_columns > 0]
-        lt = pa.concat_tables(tables) if tables else pa.table(
-            {"doc_id": pa.array([], type=pa.int64()),
-             "cluster": pa.array([], type=pa.int64())})
-        ids = lt.column("doc_id").to_numpy(zero_copy_only=False)
-        cl = lt.column("cluster").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ref = ray.put({"ids": ids[order], "cl": cl[order]})
+        # index built INSIDE a task (embed_dedup._build_corpus
+        # pattern): the driver holds only the object ref, never the
+        # label table — at 256 nodes the driver NIC stays out of it
+        ref = _build_label_index.remote(list(labels.to_arrow_refs()))
 
         def attach(batch: pa.Table) -> pa.Table:
             st = ray.get(ref)

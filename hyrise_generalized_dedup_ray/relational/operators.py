@@ -754,10 +754,20 @@ def stratified_sample(ds: Dataset, id_col: str, group_col: str,
             .to_numpy(zero_copy_only=False).view(np.uint64)
         draw = (splitmix64(ids ^ salt) % np.uint64(1_000_000)) \
             .astype(np.int64)
-        groups = batch.column(group_col).to_pylist()
-        cut = np.fromiter((rates.get(g, default_ppm) for g in groups),
-                          dtype=np.int64, count=len(groups))
-        return batch.filter(pa.array(draw < cut))
+        # dictionary-encode the group column: Python touches only the
+        # O(#distinct) dictionary, the per-row lookup is one numpy take
+        # (null group → index -1 → the appended default slot)
+        enc = pc.dictionary_encode(batch.column(group_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_rates = np.fromiter(
+            (rates.get(g, default_ppm)
+             for g in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        dict_rates = np.append(dict_rates, np.int64(default_ppm))
+        idx = pc.fill_null(enc.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(draw < dict_rates[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)

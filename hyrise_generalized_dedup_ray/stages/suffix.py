@@ -48,7 +48,6 @@ from hyrise_generalized_dedup_ray.functions.hashing import mix2
 from hyrise_generalized_dedup_ray.functions.pairs import (
     SUBSTR_MAX_GROUP,
     batch_docset_keys,
-    chunk_with_anchor,
 )
 from hyrise_generalized_dedup_ray.functions.substr import cross_doc_repeats
 from hyrise_generalized_dedup_ray.stages.exchange import (
@@ -133,30 +132,53 @@ def chunks_kernel(part: pa.Table) -> pa.Table:
     downstream, not one."""
     dsk = part.column("docset").to_numpy(zero_copy_only=False)
     ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+    if not len(dsk):
+        return _CHUNK_SCHEMA.empty_table()
     order = np.lexsort((ids, dsk))
     dsk, ids = dsk[order], ids[order]
-    if len(dsk):
-        keep = np.concatenate(
-            [[True], (dsk[1:] != dsk[:-1]) | (ids[1:] != ids[:-1])])
-        dsk, ids = dsk[keep], ids[keep]
-    out_set: list[int] = []
-    out_chunk: list[int] = []
-    out_id: list[int] = []
-    if len(dsk):
-        idx = np.flatnonzero(dsk[1:] != dsk[:-1]) + 1
-        starts = np.concatenate([[0], idx])
-        ends = np.concatenate([idx, [len(dsk)]])
-        for s, e in zip(starts, ends):
-            key = int(dsk[s])
-            for ci, chunk in enumerate(
-                    chunk_with_anchor(ids[s:e], SUBSTR_MAX_GROUP)):
-                out_set.extend([key] * len(chunk))
-                out_chunk.extend([ci] * len(chunk))
-                out_id.extend(chunk)
+    keep = np.concatenate(
+        [[True], (dsk[1:] != dsk[:-1]) | (ids[1:] != ids[:-1])])
+    dsk, ids = dsk[keep], ids[keep]
+    idx = np.flatnonzero(dsk[1:] != dsk[:-1]) + 1
+    starts = np.concatenate([[0], idx])
+    sizes = np.diff(np.concatenate([starts, [len(dsk)]]))
+    keys = dsk[starts]
+    # fits-in-one-chunk groups (the overwhelming majority) emit their
+    # rows verbatim under chunk 0; oversized groups split into
+    # anchored ≤SUBSTR_MAX_GROUP chunks (chunk_with_anchor semantics,
+    # vectorized — a boilerplate corpus makes millions of groups per
+    # shard, so no per-group Python, same reasoning as members_kernel)
+    small = sizes <= SUBSTR_MAX_GROUP
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    if small.any():
+        row_small = np.repeat(small, sizes)
+        parts.append((np.repeat(keys[small], sizes[small]),
+                      np.zeros(int(sizes[small].sum()), dtype=np.int64),
+                      ids[row_small]))
+    if not small.all():
+        big = ~small
+        step = SUBSTR_MAX_GROUP - 1
+        sizes_b, keys_b = sizes[big], keys[big]
+        # non-anchor rows: position p ≥ 1 within its group → chunk
+        # (p-1)//step, exactly chunk_with_anchor's rest slicing
+        pos = np.arange(len(dsk)) - np.repeat(starts, sizes)
+        rest = np.repeat(big, sizes) & (pos > 0)
+        parts.append((np.repeat(keys_b, sizes_b - 1),
+                      (pos[rest] - 1) // step, ids[rest]))
+        # anchor rows: the group's min id repeats once per chunk
+        n_chunks = -(-(sizes_b - 1) // step)
+        tot = int(n_chunks.sum())
+        offs = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        parts.append((np.repeat(keys_b, n_chunks),
+                      np.arange(tot) - np.repeat(offs, n_chunks),
+                      np.repeat(ids[starts[big]], n_chunks)))
     return pa.table({
-        "docset": pa.array(out_set, type=_I64),
-        "chunk": pa.array(out_chunk, type=_I64),
-        "doc_id": pa.array(out_id, type=_I64),
+        "docset": pa.array(np.concatenate([p[0] for p in parts])
+                           .astype(np.int64), type=_I64),
+        "chunk": pa.array(np.concatenate([p[1] for p in parts])
+                          .astype(np.int64), type=_I64),
+        "doc_id": pa.array(np.concatenate([p[2] for p in parts])
+                           .astype(np.int64), type=_I64),
     })
 
 

@@ -92,15 +92,11 @@ def attach_texts(
     return j2
 
 
-def _attach_texts_broadcast(
-    pairs: Dataset, docs: Dataset, num_partitions: int
-) -> Dataset:
-    """Broadcast-index attach (see :func:`attach_texts`): one map over
-    docs emits (pair, slot, a, b, text) rows for every pair membership,
-    then one hash exchange pivots the two slots together."""
-    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
-
-    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
+@ray.remote
+def _build_pair_index(refs: list) -> dict:
+    """(a, b) pair blocks → sorted member index, concatenated inside a
+    task so the driver never materializes the pairs."""
+    tables = [t for t in ray.get(list(refs)) if t.num_columns > 0]
     pt = pa.concat_tables(tables) if tables else _PAIR_SCHEMA.empty_table()
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
@@ -110,10 +106,22 @@ def _attach_texts_broadcast(
     member_slot = np.concatenate([np.zeros(n, dtype=np.int64),
                                   np.ones(n, dtype=np.int64)])
     order = np.argsort(member_doc, kind="stable")
-    state_ref = ray.put({
-        "md": member_doc[order], "mp": member_pair[order],
-        "ms": member_slot[order], "a": a, "b": b,
-    })
+    return {"md": member_doc[order], "mp": member_pair[order],
+            "ms": member_slot[order], "a": a, "b": b}
+
+
+def _attach_texts_broadcast(
+    pairs: Dataset, docs: Dataset, num_partitions: int
+) -> Dataset:
+    """Broadcast-index attach (see :func:`attach_texts`): one map over
+    docs emits (pair, slot, a, b, text) rows for every pair membership,
+    then one hash exchange pivots the two slots together."""
+    from hyrise_generalized_dedup_ray.functions.grouping import sort_groups
+
+    # index built INSIDE a task (embed_dedup._build_corpus pattern):
+    # the driver never holds the pair table, only the object ref —
+    # workers read the one shared-memory copy per node directly
+    state_ref = _build_pair_index.remote(list(pairs.to_arrow_refs()))
 
     def melt(batch: pa.Table) -> pa.Table:
         st = ray.get(state_ref)   # zero-copy views from the object store
@@ -371,30 +379,52 @@ def _verify_broadcast(
 ) -> Dataset:
     """Fused attach+verify (see :func:`verify_pairs`): ONE hash
     exchange over per-shard pair seeds and per-(doc, shard)-
-    deduplicated text rows."""
-    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_columns > 0]
+    deduplicated text rows.  The seed shards and the member index are
+    built INSIDE one task (embed_dedup._build_corpus pattern) — the
+    driver holds only object refs, never the pair table."""
+    # Width follows pairs volume (~2k pairs / kernel task) and cluster
+    # CPUs, floored by the caller's ``num_partitions`` — kernel
+    # parallelism is bounded by the shard count: 16 shards on 32 CPUs
+    # ran the kernels near-serially.  (count() is free: the caller
+    # materialized `pairs`; a pre-dedup overcount only widens P.)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = int(np.clip(pairs.count() // 20000,
+                    max(4, num_partitions, 2 * cpus), 4 * cpus))
+    parts = _build_verify_seeds.options(num_returns=P + 1).remote(
+        list(pairs.to_arrow_refs()), P, pre_deduped)
+    seed_refs, ref = list(parts[:P]), parts[P]
+
+    refs = hash_exchange_refs(
+        docs.to_arrow_refs(),
+        functools.partial(_melt_pair_texts, ref=ref, P=P),
+        "pkey",
+        functools.partial(_verify_kernel, cfg=cfg, batch_size=batch_size),
+        P, _VERIFY_SCHEMA, seed_shards=seed_refs, key_is_shard=True)
+    if not refs:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
+@ray.remote
+def _build_verify_seeds(refs: list, P: int, pre_deduped: bool):
+    """Pair blocks → P per-shard seed tables + the member index, all
+    built off-driver.  ``num_returns=P+1``: the P seed shards ship to
+    their reduce tasks individually; the index dict broadcasts once."""
+    tables = [t for t in ray.get(list(refs)) if t.num_columns > 0]
     pt = pa.concat_tables(tables) if tables else _PAIR_SCHEMA.empty_table()
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
     if not pre_deduped and len(a):
-        # pairs are already ON the driver for the index build — dedup
-        # here costs one lexsort instead of the whole dedupe_pairs
+        # pairs are already in-hand for the index build — dedup here
+        # costs one lexsort instead of the whole dedupe_pairs
         # all-to-all the flagship used to pay
         order0 = np.lexsort((b, a))
         a, b = a[order0], b[order0]
         keep0 = np.concatenate(
             [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         a, b = a[keep0], b[keep0]
-    # Width follows pairs volume (~2k pairs / kernel task) and cluster
-    # CPUs, floored by the caller's ``num_partitions`` — kernel
-    # parallelism is bounded by the shard count: 16 shards on 32 CPUs
-    # ran the kernels near-serially.
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = int(np.clip(len(a) // 20000, max(4, num_partitions, 2 * cpus),
-                    4 * cpus))
     pk = partition_ids(mix2(a.view(np.uint64), b.view(np.uint64)), P)
     n = len(a)
-
     pair_table = pa.table({
         "pkey": pa.array(pk, type=_I64),
         "kind": pa.array(np.zeros(n, dtype=np.int64), type=_I64),
@@ -404,21 +434,11 @@ def _verify_broadcast(
         "text": pa.nulls(n, type=pa.string()),
     }, schema=_VERIFY_SCHEMA)
     seed_shards = split_by_key(pair_table, pk, P, key_is_shard=True)
-
     member_doc = np.concatenate([a, b])
     member_pk = np.concatenate([pk, pk])
     order = np.argsort(member_doc, kind="stable")
-    ref = ray.put({"md": member_doc[order], "mpk": member_pk[order]})
-
-    refs = hash_exchange_refs(
-        docs.to_arrow_refs(),
-        functools.partial(_melt_pair_texts, ref=ref, P=P),
-        "pkey",
-        functools.partial(_verify_kernel, cfg=cfg, batch_size=batch_size),
-        P, _VERIFY_SCHEMA, seed_shards=seed_shards, key_is_shard=True)
-    if not refs:
-        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
-    return ray.data.from_arrow_refs(refs)
+    return (*seed_shards,
+            {"md": member_doc[order], "mpk": member_pk[order]})
 
 
 def _melt_exact_candidates(block: pa.Table, ref) -> pa.Table:
@@ -490,7 +510,8 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     if not member_refs:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
 
-    if count_rows(member_refs) > BROADCAST_PAIRS_MAX:
+    n_members = count_rows(member_refs)
+    if n_members > BROADCAST_PAIRS_MAX:
         # candidate membership too big to broadcast: hash-join the
         # candidate texts instead (still only candidates ship text)
         from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
@@ -514,16 +535,12 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
             .map_groups(_confirm_exact_partition, batch_format="pyarrow")
         )
 
-    tables = [t for t in ray.get(member_refs) if t.num_rows]
-    if not tables:
+    if n_members == 0:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
-    mt = pa.concat_tables(tables)
-    m_th = mt.column("text_hash").to_numpy(zero_copy_only=False)
-    m_id = mt.column("doc_id").to_numpy(zero_copy_only=False)
-    m_pk = partition_ids(m_th, num_partitions)
-    order = np.argsort(m_id, kind="stable")
-    ref = ray.put({"md": m_id[order], "mth": m_th[order],
-                   "mpk": m_pk[order]})
+    # index built INSIDE a task — the driver never holds the
+    # candidate-membership table, only the object ref
+    ref = _build_exact_member_index.remote(list(member_refs),
+                                           num_partitions)
 
     refs = hash_exchange_refs(
         sig_refs,
@@ -533,6 +550,19 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
     if not refs:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
     return ray.data.from_arrow_refs(refs)
+
+
+@ray.remote
+def _build_exact_member_index(refs: list, num_partitions: int) -> dict:
+    """Candidate-membership blocks → sorted (doc → text_hash, shard)
+    lookup, concatenated inside a task (off-driver)."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    mt = pa.concat_tables(tables)
+    m_th = mt.column("text_hash").to_numpy(zero_copy_only=False)
+    m_id = mt.column("doc_id").to_numpy(zero_copy_only=False)
+    m_pk = partition_ids(m_th, num_partitions)
+    order = np.argsort(m_id, kind="stable")
+    return {"md": m_id[order], "mth": m_th[order], "mpk": m_pk[order]}
 
 
 def _confirm_exact_partition(part: pa.Table) -> pa.Table:

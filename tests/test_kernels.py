@@ -193,3 +193,51 @@ def test_union_find_min_label():
     assert labels[3] == labels[5] == labels[9] == 3
     assert labels[100] == labels[200] == 100
     assert labels[7] == 7
+
+
+def test_chunks_kernel_matches_loop_reference():
+    """Vectorized chunks_kernel ≡ the per-group chunk_with_anchor loop:
+    same (docset, chunk, doc_id) multiset for a mix of singleton,
+    small, exactly-cap and way-oversized groups."""
+    import pyarrow as pa
+    from hyrise_generalized_dedup_ray.functions.pairs import SUBSTR_MAX_GROUP
+    from hyrise_generalized_dedup_ray.stages.suffix import chunks_kernel
+
+    rng = np.random.default_rng(7)
+    rows_set, rows_id = [], []
+    group_sizes = [1, 2, 5, SUBSTR_MAX_GROUP, SUBSTR_MAX_GROUP + 1,
+                   3 * SUBSTR_MAX_GROUP + 7, 500]
+    for g, size in enumerate(group_sizes):
+        ids = rng.choice(10_000, size=size, replace=False)
+        # include duplicate membership rows: the kernel dedups them
+        ids = np.concatenate([ids, ids[: size // 3]])
+        rows_set.extend([g * 11 + 3] * len(ids))
+        rows_id.extend(ids.tolist())
+    part = pa.table({"docset": pa.array(rows_set, pa.int64()),
+                     "doc_id": pa.array(rows_id, pa.int64())})
+    out = chunks_kernel(part)
+
+    expected = []
+    for g, size in enumerate(group_sizes):
+        key = g * 11 + 3
+        mask = np.asarray(rows_set) == key
+        uniq = np.unique(np.asarray(rows_id)[mask])
+        for ci, chunk in enumerate(chunk_with_anchor(uniq,
+                                                     SUBSTR_MAX_GROUP)):
+            expected.extend((key, ci, int(d)) for d in chunk)
+    got = list(zip(out.column("docset").to_pylist(),
+                   out.column("chunk").to_pylist(),
+                   out.column("doc_id").to_pylist()))
+    assert sorted(got) == sorted(expected)
+    # every chunk respects the cap
+    import collections
+    per_chunk = collections.Counter((s, c) for s, c, _ in got)
+    assert max(per_chunk.values()) <= SUBSTR_MAX_GROUP
+
+
+def test_chunks_kernel_empty():
+    import pyarrow as pa
+    from hyrise_generalized_dedup_ray.stages.suffix import chunks_kernel
+    part = pa.table({"docset": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64())})
+    assert chunks_kernel(part).num_rows == 0

@@ -396,3 +396,34 @@ def test_batch_docset_keys_matches_loop():
     want = np.array([docset_key(np.sort(ids[s:s + n]) * 0 + ids[s:s + n])
                      for s, n in zip(starts, sizes)], dtype=np.uint64)
     assert got.tolist() == want.tolist()
+
+
+def test_stratified_sample_null_group_and_dict_rates(ray_session):
+    """The dictionary-encoded rate lookup keeps hash_sample parity per
+    group and gives null group values the default rate."""
+    import pyarrow as pa
+    import ray
+    from hyrise_generalized_dedup_ray.relational.operators import (
+        hash_sample, stratified_sample)
+    n = 4000
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "g": pa.array((["en", "de", None, "fr"] * n)[:n]),
+    })
+    rates = {"en": 500_000, "de": 100_000, "fr": 0}
+    out = stratified_sample(ray.data.from_arrow(t).repartition(5),
+                            "id", "g", rates, default_ppm=250_000,
+                            seed=3).to_pandas()
+    # per group, membership must equal hash_sample at that group's rate
+    full = t.to_pandas()
+    for g, ppm in [("en", 500_000), ("de", 100_000), ("fr", 0),
+                   (None, 250_000)]:
+        grp_ids = full[full["g"].isna() if g is None else
+                       (full["g"] == g)]["id"]
+        kept = hash_sample(
+            ray.data.from_arrow(pa.table({"id": pa.array(grp_ids,
+                                                         pa.int64())})),
+            "id", ppm, seed=3).to_pandas()
+        got = sorted(out[out["g"].isna() if g is None else
+                         (out["g"] == g)]["id"])
+        assert got == sorted(kept["id"] if len(kept) else []), g
