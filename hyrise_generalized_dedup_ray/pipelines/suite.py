@@ -578,13 +578,19 @@ def ngram_jaccard_exact(sf_dir: str):
 
 
 def substring_dups(sf_dir: str):
-    """Suffix-array ≥50-byte shared-substring pairs over documents."""
+    """Suffix-array ≥50-byte shared-substring pairs over documents,
+    deduplicated to set semantics (substring_edges may emit an edge
+    once per distinct shared run; components downstream don't care,
+    but the pair-set surface and its brute-force SQL twin do)."""
     from hyrise_generalized_dedup_ray.pipelines.docs import sign_docs
+    from hyrise_generalized_dedup_ray.stages.lsh import dedupe_pairs
     from hyrise_generalized_dedup_ray.stages.suffix import substring_edges
     from hyrise_generalized_dedup_ray.config import (DEFAULT_ENGINE_CONFIG,
                                                      DEFAULT_SIGNATURE_CONFIG)
     sigs = sign_docs(load_table(sf_dir, "documents")).materialize()
-    return substring_edges(sigs, DEFAULT_SIGNATURE_CONFIG, num_partitions=8)
+    edges = substring_edges(sigs, DEFAULT_SIGNATURE_CONFIG,
+                            num_partitions=8)
+    return dedupe_pairs(edges, num_partitions=8)
 
 
 EMBED_TAU = 0.42   # synthetic embeddings are near-orthogonal (max cos ≈ .51);
@@ -1860,3 +1866,237 @@ ORACLE_SQL["stratified_sample_docs"] = (
     f"CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
     f"ELSE 50000 END")
 # meta_system_information is host-dependent → rows-only, no oracle.
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """Brute-force DuckDB twin of ``simhash_pairs``: recomputes the
+    64-bit SimHash BIT-EXACTLY from text — whitespace tokens, the
+    tokenizer's byte-polynomial hash (functions/text.tokenize_batch:
+    h = Σ byte·A^(L-1-k) mod 2^64, splitmix64-finished), 5-token
+    shingle polynomial (shingle_hashes), seed-remixed per-shingle
+    splitmix64, per-bit strict majority (minhash.simhash_signatures)
+    — then self-joins on ``bit_count(xor) <= d``.  mod-2^64 products
+    run on HUGEINT limbs (see :func:`_splitmix_sql`); byte positions
+    use ``ascii(substring(...))``, exact for the ASCII test corpus.
+    The engine's pigeonhole blocking has recall 1.0 below the
+    hot-block cap, so the twin is an equality oracle at test scale."""
+    from hyrise_generalized_dedup_ray.config import (
+        DEFAULT_SIGNATURE_CONFIG as _cfg)
+    M = 1 << 64
+    A = 0x9E3779B97F4A7C15
+    n = _cfg.shingle_n
+    seed = _cfg.seed
+
+    def mulmod(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (f"CAST(((CAST({a} AS HUGEINT) * {lo}) % {M} + "
+                f"(((CAST({a} AS HUGEINT) % 4294967296) * {hi})"
+                f" % 4294967296) * 4294967296) % {M} AS UBIGINT)")
+
+    apow = [pow(A, j, M) for j in range(n)]
+    sh_raw = " + ".join(
+        f"CAST({mulmod(f't{i + 1}.h', apow[n - 1 - i])} AS HUGEINT)"
+        for i in range(n))
+    shingle_joins = "\n".join(
+        f"  JOIN tokhash t{i} ON t{i}.doc_id = t1.doc_id"
+        f" AND t{i}.i = t1.i + {i - 1}" for i in range(2, n + 1))
+    tok_raw = ("CAST(SUM(CAST(ascii(substring(tok, k, 1)) AS HUGEINT)"
+               f" * CAST(p AS HUGEINT)) % {M} AS UBIGINT)")
+    remix_in = (f"CAST((CAST(({sh_raw}) % {M} AS HUGEINT) + {seed})"
+                f" % {M} AS UBIGINT)")
+    return f"""
+WITH RECURSIVE powers(j, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL SELECT j + 1, {mulmod('p', A)} FROM powers WHERE j < 2048
+),
+bitvals(j, v) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL SELECT j + 1, v * 2 FROM bitvals WHERE j < 63
+),
+toks AS (
+  SELECT d.doc_id, unnest(d.ts) AS tok,
+         generate_subscripts(d.ts, 1) AS i
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ts
+        FROM documents) d
+),
+tokchars AS (
+  SELECT doc_id, i, tok, unnest(range(1, length(tok) + 1)) AS k
+  FROM toks
+),
+tokhash AS (
+  SELECT doc_id, i, {_splitmix_sql(tok_raw)} AS h
+  FROM tokchars JOIN powers ON powers.j = length(tok) - k
+  GROUP BY doc_id, i, tok
+),
+shingles AS (
+  SELECT t1.doc_id, {_splitmix_sql(remix_in)} AS r
+  FROM tokhash t1
+{shingle_joins}
+),
+bits AS (
+  SELECT doc_id, b.j,
+         SUM(CAST((r >> CAST(b.j AS UBIGINT)) & 1 AS BIGINT)) AS ones,
+         COUNT(*) AS nsh
+  FROM shingles, generate_series(0, 63) b(j)
+  GROUP BY doc_id, b.j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * ones > nsh THEN bv.v
+                  ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+  FROM bits JOIN bitvals bv ON bv.j = bits.j
+  GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM sims x JOIN sims y
+  ON x.doc_id < y.doc_id
+ AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+ORACLE_SQL["simhash_pairs"] = _simhash_pairs_oracle()
+
+# char-8-gram exact Jaccard ≥ 0.7 — jaccard over DISTINCT raw 8-byte
+# substrings equals the engine's hashed-shingle jaccard (64-bit hashes,
+# no collisions on the test corpus; text is ASCII so char == byte).
+# The LSH candidate stage recalls every ≥0.7 pair on this corpus
+# (S-curve P ≈ 0.9998/pair, verified empirically), making the
+# brute-force twin an equality oracle at test scale.
+ORACLE_SQL["ngram_jaccard"] = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substring(text, g, 8) AS g8
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS g
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS n_common
+  FROM grams g1 JOIN grams g2
+    ON g1.g8 = g2.g8 AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+             JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.7
+"""
+
+# ≥50-byte shared-substring pairs: the winnowing guarantee catches
+# every ≥min_substring_bytes repeat and the suffix kernel confirms
+# byte-exactly, so the engine's pair set equals this self-join on
+# distinct 50-byte substrings (ASCII corpus: char == byte).
+ORACLE_SQL["substring_dups"] = """
+WITH subs AS (
+  SELECT DISTINCT doc_id, substring(text, p, 50) AS s
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 48)) AS p
+        FROM documents)
+)
+SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+FROM subs s1 JOIN subs s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+"""
+
+# word-5-gram exact Jaccard ≥ 0.6 (the MinHash pipeline's verification
+# threshold): tokens can't contain whitespace, so the ' '-joined gram
+# string is a faithful stand-in for the engine's shingle hash.  The
+# b=32/r=4 S-curve recalls every ≥0.6 pair on this corpus (P ≈ 0.988
+# per pair, verified empirically at sf0.001 AND sf0.01), making the
+# brute-force twin an equality oracle at test scale — the same role
+# the reference's JoinVerification plays for its hash join.
+ORACLE_SQL["minhash_lsh_pairs"] = """
+WITH toks AS (
+  SELECT d.doc_id, unnest(d.ts) AS tok,
+         generate_subscripts(d.ts, 1) AS i
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ts
+        FROM documents) d
+),
+grams AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' ||
+         t4.tok || ' ' || t5.tok AS g
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+  JOIN toks t4 ON t4.doc_id = t1.doc_id AND t4.i = t1.i + 3
+  JOIN toks t5 ON t5.doc_id = t1.doc_id AND t5.i = t1.i + 4
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS n_common
+  FROM grams g1 JOIN grams g2
+    ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+             JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.6
+"""
+
+
+def _doc_fingerprints_oracle() -> str:
+    """Bit-exact DuckDB twin of ``doc_fingerprints``: recomputes the
+    winnowing fingerprint count per doc — k-byte polynomial gram
+    hashes (functions/substr.gram_hashes: H[i] = Σ b[i+j]·A^(k-1-j)
+    mod 2^64), sliding-window minima over w positions, count of
+    distinct minima (unique of all gram hashes when fewer than w
+    grams) — with the kernel's own k/w/A constants.  mod-2^64
+    products run on HUGEINT limbs; ASCII corpus ⇒ char == byte."""
+    from hyrise_generalized_dedup_ray.functions.substr import (SUBSTR_K,
+                                                               SUBSTR_W)
+    M = 1 << 64
+    A = 0x100000001B3  # functions/substr._GRAM_A
+    K, W = SUBSTR_K, SUBSTR_W
+
+    def mulmod(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (f"CAST(((CAST({a} AS HUGEINT) * {lo}) % {M} + "
+                f"(((CAST({a} AS HUGEINT) % 4294967296) * {hi})"
+                f" % 4294967296) * 4294967296) % {M} AS UBIGINT)")
+
+    return f"""
+WITH RECURSIVE powers(j, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL SELECT j + 1, {mulmod('p', A)} FROM powers WHERE j < {K - 1}
+),
+bvals AS (
+  SELECT doc_id, len, p, ascii(substring(text, p, 1)) AS b
+  FROM (SELECT doc_id, length(text) AS len,
+               unnest(range(1, length(text) + 1)) AS p, text
+        FROM documents)
+),
+grams AS (
+  SELECT v.doc_id, v.p - {K - 1} + pw.j AS i,
+         CAST(SUM(CAST(v.b AS HUGEINT) * CAST(pw.p AS HUGEINT))
+              % {M} AS UBIGINT) AS h
+  FROM bvals v JOIN powers pw
+    ON v.p - {K - 1} + pw.j >= 1
+   AND v.p - {K - 1} + pw.j <= v.len - {K - 1}
+  GROUP BY v.doc_id, v.p - {K - 1} + pw.j
+),
+nums AS (SELECT doc_id, COUNT(*) AS num FROM grams GROUP BY doc_id),
+wins AS (
+  SELECT g.doc_id, g.i, g.h,
+         MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {W - 1} FOLLOWING) AS mn,
+         n.num
+  FROM grams g JOIN nums n ON n.doc_id = g.doc_id
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN MAX(num) < {W} THEN COUNT(DISTINCT h)
+              ELSE COUNT(DISTINCT CASE WHEN i <= num - {W} + 1
+                                       THEN mn END)
+         END AS nf
+  FROM wins GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(f.nf, 0) AS n_fingerprints
+FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id
+"""
+
+
+ORACLE_SQL["doc_fingerprints"] = _doc_fingerprints_oracle()
