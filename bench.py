@@ -225,43 +225,109 @@ def main() -> None:
         # efficiency can exceed 1.0 when every trial of the SMALL leg
         # lands in a steal window — read values >1 as "≥1 within host
         # noise" against the steal_pct_trials field
-        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
-        results = {}
-        steal = {lo: [], hi: []}
-        for cpus in (lo, hi) * trials:
+        # Validity gate (makes the evidence durable + reproducible on
+        # demand): a trial is VALID iff its hypervisor steal was ≤5%
+        # AND its wall time is within GATE_TIME_FACTOR of the recorded
+        # clean-host profile — BASELINE.md documents degraded-host
+        # episodes that per-trial steal does not see (same-commit
+        # 7.4× drift control), so absolute leg times are part of the
+        # gate.  Trials run interleaved until both legs hold a valid
+        # trial (min 3 pairs, the round-2 protocol) or the pair budget
+        # runs out; the FULL trial log + gate verdict is written to
+        # BENCH_scaling.json so a reviewer can re-check, not just
+        # re-read, the number.
+        min_pairs = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+        max_pairs = int(os.environ.get("GRAFT_SCALING_MAX_PAIRS", "9"))
+        gate_steal = float(os.environ.get("GRAFT_SCALING_GATE_STEAL", "5.0"))
+        gate_factor = float(os.environ.get("GRAFT_SCALING_GATE_FACTOR", "1.2"))
+        # clean-host wall-time profile (240k-doc fixture; BASELINE.md
+        # round-2 measurement: 101.6 s @2cpus, 27.4 s @8cpus) scaled
+        # linearly to other doc counts / legs when overridden
+        profile_env = os.environ.get("GRAFT_SCALING_PROFILE", "")
+        if profile_env:
+            profile = {int(k): float(v) for k, v in
+                       (kv.split(":") for kv in profile_env.split(","))}
+        else:
+            base = {2: 101.6, 8: 27.4}
+            profile = {c: base.get(c, 101.6 * 2 / c) * (ndocs / 240000)
+                       for c in (lo, hi)}
+
+        def run_trial(cpus: int) -> dict:
             s0 = _cpu_stat()
+            t0 = time.time()
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-                 "--flagship-only", "--json-only",
+                [sys.executable, os.path.abspath(__file__), "--cpus",
+                 str(cpus), "--flagship-only", "--json-only",
                  "--pages-fixture", str(ndocs)],
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir},
             )
-            steal[cpus].append(_steal_pct(s0, _cpu_stat()))
-            line = proc.stdout.strip().splitlines()[-1]
-            parsed = json.loads(line)
-            if cpus not in results or parsed["value"] < results[cpus]["value"]:
-                results[cpus] = parsed
-        tp_lo = results[lo]["flagship_docs_per_sec"]
-        tp_hi = results[hi]["flagship_docs_per_sec"]
-        eff = (tp_hi / tp_lo) / (hi / lo)
+            stl = _steal_pct(s0, _cpu_stat())
+            parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+            return {
+                "cpus": cpus, "secs": parsed["value"],
+                "docs_per_sec": parsed["flagship_docs_per_sec"],
+                "steal_pct": stl, "wall_s": round(time.time() - t0, 1),
+                "stage_secs": parsed.get("stage_secs"),
+                "valid": (stl <= gate_steal
+                          and parsed["value"] <= profile[cpus] * gate_factor),
+            }
+
+        trials: list[dict] = []
+        for pair in range(max_pairs):
+            trials.append(run_trial(lo))
+            trials.append(run_trial(hi))
+            have_valid = all(
+                any(t["valid"] for t in trials if t["cpus"] == c)
+                for c in (lo, hi))
+            if pair + 1 >= min_pairs and have_valid:
+                break
+
+        def best(cpus: int) -> dict:
+            cand = [t for t in trials if t["cpus"] == cpus and t["valid"]]
+            pool = cand or [t for t in trials if t["cpus"] == cpus]
+            return min(pool, key=lambda t: t["secs"])
+
+        b_lo, b_hi = best(lo), best(hi)
+        gate_valid = b_lo["valid"] and b_hi["valid"]
+        eff = (b_hi["docs_per_sec"] / b_lo["docs_per_sec"]) / (hi / lo)
         out = {
             "metric": f"flagship dedup scaling efficiency "
                       f"({lo}→{hi} cpus, fresh pinned sessions)",
             "value": round(eff, 3), "unit": "efficiency",
-            "queries": {f"docs_per_sec_cpus{lo}": round(tp_lo, 1),
-                        f"docs_per_sec_cpus{hi}": round(tp_hi, 1),
-                        f"secs_cpus{lo}": results[lo]["value"],
-                        f"secs_cpus{hi}": results[hi]["value"],
+            "gate_valid": gate_valid,
+            "queries": {f"docs_per_sec_cpus{lo}": round(b_lo["docs_per_sec"], 1),
+                        f"docs_per_sec_cpus{hi}": round(b_hi["docs_per_sec"], 1),
+                        f"secs_cpus{lo}": b_lo["secs"],
+                        f"secs_cpus{hi}": b_hi["secs"],
                         "scaling_docs": ndocs},
             "legs": [lo, hi],
-            f"stage_secs_cpus{lo}": results[lo].get("stage_secs"),
-            f"stage_secs_cpus{hi}": results[hi].get("stage_secs"),
-            "steal_pct_trials": {f"cpus{lo}": steal[lo],
-                                 f"cpus{hi}": steal[hi]},
+            f"stage_secs_cpus{lo}": b_lo.get("stage_secs"),
+            f"stage_secs_cpus{hi}": b_hi.get("stage_secs"),
+            "steal_pct_trials": {
+                f"cpus{lo}": [t["steal_pct"] for t in trials
+                              if t["cpus"] == lo],
+                f"cpus{hi}": [t["steal_pct"] for t in trials
+                              if t["cpus"] == hi]},
             "sf": float(sf), "num_cpus": hi,
         }
+        artifact = {
+            **out,
+            "gate": {"steal_max_pct": gate_steal,
+                     "time_factor": gate_factor,
+                     "clean_host_profile_secs": profile,
+                     "rule": "chosen trial per leg: steal<=steal_max "
+                             "AND secs<=profile*time_factor"},
+            "trials": trials,
+            "chosen": {f"cpus{lo}": b_lo, f"cpus{hi}": b_hi},
+            "recorded_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+        }
+        art_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_scaling.json")
+        with open(art_path, "w") as f:
+            json.dump(artifact, f, indent=1)
         print(json.dumps(out))
         return
 

@@ -35,9 +35,11 @@ hash-cluster once, then run tight per-partition loops.
 Scale contract (10^12 docs / 256 nodes): the shuffle-object count is
 ``map_tasks × num_shards``; both default to O(cluster CPUs), which is
 the right shape up to a few thousand cores (8k × 8k ≈ 67M objects is
-NOT — at that size, run the exchange hierarchically: exchange within
-each node group on ``hash(key) % G`` first, then across groups on the
-full key, keeping every level's object count ≤ ~10^5).  Shard payloads
+NOT — above ~10^5 objects :func:`hash_exchange_refs` and
+:func:`exchange_join` now switch THEMSELVES to the two-level
+hierarchical path, exchanging within ``G`` groups first and across
+groups second, keeping every level's object count bounded;
+``_EXCHANGE_OBJECT_BOUND``).  Shard payloads
 are ordinary object-store entries, so multi-node placement, transfer
 and disk spill are Ray's — a mega-shard degrades to spill, not OOM,
 and reduces pull shards as plain refs over the network exactly like
@@ -114,6 +116,31 @@ def _reduce(kernel: KernelFn, seed: pa.Table | None, *shards: pa.Table):
     return kernel(t)
 
 
+# shuffle objects (map_tasks × num_shards) above this bound route
+# through the two-level exchange automatically — the module-note scale
+# contract (~10^5 object-directory entries per level), now enforced in
+# code instead of left to the caller.
+_EXCHANGE_OBJECT_BOUND = 100_000
+
+
+def _auto_groups(map_tasks: int, num_shards: int) -> int | None:
+    """Level-1 group count when a flat exchange would exceed the
+    object bound; ``None`` keeps the flat path.  Picks the divisor of
+    ``num_shards`` nearest sqrt(num_shards) that brings
+    ``map_tasks × G + num_shards`` under the bound (or the best
+    achievable one)."""
+    if map_tasks * num_shards <= _EXCHANGE_OBJECT_BOUND:
+        return None
+    divisors = [d for d in range(1, num_shards) if num_shards % d == 0]
+    if not divisors:
+        return None
+    ok = [d for d in divisors
+          if map_tasks * d + num_shards <= _EXCHANGE_OBJECT_BOUND]
+    pool = ok or [min(divisors, key=lambda d: map_tasks * d)]
+    target = max(1, math.isqrt(num_shards))
+    return min(pool, key=lambda d: (abs(d - target), d))
+
+
 def _shard_side(block_refs: Sequence["ray.ObjectRef"], map_fn: MapFn,
                 key_col: str, num_shards: int, schema: pa.Schema,
                 map_tasks: int | None = None,
@@ -156,6 +183,15 @@ def hash_exchange_refs(
     block_refs = list(block_refs)
     if seed_shards is not None and len(seed_shards) != num_shards:
         raise ValueError("seed_shards must have one table per shard")
+    if seed_shards is None and not key_is_shard and block_refs:
+        # auto-hierarchical: enforce the ~10^5 shuffle-object contract
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        m = map_tasks or min(len(block_refs), max(1, cpus))
+        g = _auto_groups(m, num_shards)
+        if g is not None and 1 < g < num_shards:
+            return hash_exchange_hierarchical_refs(
+                block_refs, map_fn, key_col, kernel, num_shards, schema,
+                num_groups=g, map_tasks=map_tasks)
     if not block_refs:
         if seed_shards is None:
             return []
@@ -574,6 +610,21 @@ def exchange_join(
              for a, b in zip(on, right_on)]
     cpus = int(ray.cluster_resources().get("CPU", 8))
     P = num_partitions or max(2, cpus)
+    if not (salt and salt > 1):
+        # auto-hierarchical: enforce the ~10^5 shuffle-object contract
+        # (per side).  Rewrap the already-executed refs so the
+        # hierarchical path doesn't re-run the input pipelines.
+        m = map_tasks or min(max(len(lrefs), len(rrefs), 1),
+                             max(1, cpus))
+        g = _auto_groups(m, P)
+        if g is not None and 1 < g < P:
+            return exchange_join_hierarchical(
+                ray.data.from_arrow_refs(lrefs) if lrefs else left,
+                ray.data.from_arrow_refs(rrefs) if rrefs else right,
+                on, right_on=right_on, how=how, num_partitions=P,
+                num_groups=g, left_suffix=left_suffix,
+                right_suffix=right_suffix, map_tasks=map_tasks,
+                coalesce_keys=coalesce_keys)
     ls_pk = ls.append(pa.field("__pk", pa.int64()))
     rs_pk = rs.append(pa.field("__pk", pa.int64()))
     lmap = _append_pk(on, kinds, casts)

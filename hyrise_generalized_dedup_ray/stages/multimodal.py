@@ -2,13 +2,21 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels themselves are STUBBED — the image/audio libraries
-are not in this container — behind ``DecodeBackend``: the ``"real"``
-backend raises ``NotImplementedError`` at the exact call site where
-PIL/ffmpeg would run; the default ``"fake"`` backend produces
-deterministic pseudo-decodes derived only from the payload bytes, so
-the Ray-side plumbing (schema, binary batches kept SMALL, actor
-signature, feature output layout) is real and tested end-to-end.
+Decode runs behind ``DecodeBackend`` with capability detection:
+
+- ``"real"`` decodes actual media — PIL when importable, else the
+  pure-numpy PNG codec (functions/png.py: zlib + the five scanline
+  filters, 8-bit gray/RGB/GA/RGBA) for images, stdlib ``wave`` for
+  PCM audio.  Features are computed from real pixels/samples
+  (per-channel moments + dims), resize is PIL-or-nearest-neighbor
+  with PNG re-encode.  Video needs a codec library (pyav/ffmpeg,
+  absent here) and raises ``NotImplementedError`` at the exact call
+  site; unsupported payloads raise ``UnsupportedImageError`` /
+  ``ValueError`` with a clear message.
+- ``"fake"`` (default) produces deterministic pseudo-decodes derived
+  only from the payload bytes, so the Ray-side plumbing (schema,
+  binary batches kept SMALL, actor signature, feature output layout)
+  is testable without any media fixture.
 
 Scale notes baked into the defaults: binary payloads dominate batch
 memory, so ``batch_size`` is rows-small (256) regardless of row count
@@ -36,20 +44,85 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 8
 
 
+def _detect_capabilities() -> dict:
+    """Once-per-process probe of which media libraries exist (the
+    actor-pool backends read this at ``__init__``, never per batch)."""
+    caps = {"png_pure": True, "wav_pure": True}
+    try:
+        import PIL.Image  # noqa: F401
+        caps["pil"] = True
+    except ImportError:
+        caps["pil"] = False
+    try:
+        import av  # noqa: F401
+        caps["pyav"] = True
+    except ImportError:
+        caps["pyav"] = False
+    return caps
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (int16 sample array [frames × channels], rate)
+    via the stdlib ``wave`` module — no external library needed."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        nchan = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return samples.reshape(-1, nchan), rate
+
+
 class DecodeBackend:
-    """Seam where a real decoder (PIL / soundfile / pyav) would plug in."""
+    """``"real"`` decodes actual media (capability-detected: PIL →
+    pure-numpy PNG → error); ``"fake"`` is the deterministic stub."""
 
     def __init__(self, mode: str = "fake"):
         if mode not in ("fake", "real"):
             raise ValueError(mode)
         self.mode = mode
+        self.caps = _detect_capabilities() if mode == "real" else {}
+
+    # -- real decode helpers ------------------------------------------
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        from hyrise_generalized_dedup_ray.functions.png import (
+            decode_png, is_png)
+
+        if self.caps.get("pil"):
+            import io
+
+            import PIL.Image
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)))
+        if is_png(payload):
+            return decode_png(payload)
+        raise ValueError(
+            "unsupported image payload (pure decoder handles PNG; "
+            "install PIL for other formats)")
 
     def decode(self, media_type: str, payload: bytes) -> dict:
         if self.mode == "real":
+            if media_type == "image":
+                img = self._decode_image(payload)
+                h, w = img.shape[:2]
+                return {"width": int(w), "height": int(h), "frames": 1,
+                        "sample_rate": 0}
+            if media_type == "audio":
+                samples, rate = _decode_wav(payload)
+                return {"width": 0, "height": 0,
+                        "frames": int(samples.shape[0]),
+                        "sample_rate": int(rate)}
             raise NotImplementedError(
-                "real decode needs PIL/soundfile/pyav — not in this container; "
-                "instantiate DecodeBackend('fake') for the deterministic stub"
-            )
+                "real video decode needs pyav/ffmpeg — not in this "
+                "container")
         # deterministic pseudo-decode: all values derive from payload bytes
         digest = hashlib.blake2b(payload, digest_size=16).digest()
         h = np.frombuffer(digest, dtype=np.uint64)
@@ -64,33 +137,75 @@ class DecodeBackend:
         return {"width": 320, "height": 240,
                 "frames": 1 + int(h[0] % 300), "sample_rate": 0}
 
-    def features(self, payload: bytes) -> np.ndarray:
-        """FEATURE_DIM float32 'embedding' of the payload — deterministic
-        rolling digest in the stub; a CNN/fbank forward pass for real."""
+    def features(self, payload: bytes,
+                 media_type: str = "image") -> np.ndarray:
+        """FEATURE_DIM float32 'embedding' — real mode computes moments
+        of actual pixels/samples (mean/std per channel + log-dims), the
+        stub a rolling digest."""
         if self.mode == "real":
-            raise NotImplementedError("real feature extraction not available")
+            if media_type == "image":
+                img = self._decode_image(payload).astype(np.float64)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                mean = img.mean(axis=(0, 1))
+                std = img.std(axis=(0, 1))
+                vec = np.zeros(FEATURE_DIM, np.float64)
+                k = min(3, img.shape[2])
+                vec[:k] = mean[:k] / 255.0
+                vec[3:3 + k] = std[:k] / 255.0
+                vec[6] = np.log1p(img.shape[0]) / 12.0
+                vec[7] = np.log1p(img.shape[1]) / 12.0
+                return vec.astype(np.float32)
+            if media_type == "audio":
+                samples, rate = _decode_wav(payload)
+                x = samples.astype(np.float64) / 32768.0
+                flat = x.ravel()
+                zc = float(np.mean(np.abs(np.diff(np.sign(flat))) > 0)) \
+                    if len(flat) > 1 else 0.0
+                vec = np.array([
+                    flat.mean(), flat.std(),
+                    np.abs(flat).mean(), np.abs(flat).max(initial=0.0),
+                    zc, np.log1p(len(flat)) / 20.0,
+                    x.shape[1] / 8.0, rate / 96000.0,
+                ])
+                return vec.astype(np.float32)
+            raise NotImplementedError(
+                "real video features need pyav/ffmpeg")
         digest = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 4).digest()
         raw = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
         return (raw / np.float64(2**32)).astype(np.float32)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        """Image resize to (width, height) — PIL thumbnail+reencode for
-        real; the stub emits a deterministic payload of the right
-        byte-budget (3 bytes/pixel) derived from the source digest, so
-        downstream stages see realistic size distributions."""
+        """Image resize to (width, height) — PIL when present, else
+        decode + nearest-neighbor + PNG re-encode; the stub emits a
+        deterministic payload of the right byte-budget (3 bytes/pixel)
+        so downstream stages see realistic size distributions."""
         if self.mode == "real":
-            raise NotImplementedError("real resize needs PIL")
+            if self.caps.get("pil"):
+                import io
+
+                import PIL.Image
+                img = PIL.Image.open(io.BytesIO(payload))
+                buf = io.BytesIO()
+                img.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue()
+            from hyrise_generalized_dedup_ray.functions.png import (
+                encode_png, resize_nearest)
+            img = self._decode_image(payload)
+            return encode_png(resize_nearest(img, width, height))
         seed = hashlib.blake2b(payload, digest_size=32).digest()
         need = width * height * 3
         reps = -(-need // len(seed))
         return (seed * reps)[:need]
 
     def sample_frames(self, payload: bytes, every: int) -> list[bytes]:
-        """Video frame sampling (one frame per ``every``) — pyav keyframe
-        walk for real; the stub derives each frame's bytes from
-        (payload digest, frame index)."""
+        """Video frame sampling (one frame per ``every``) — pyav
+        keyframe walk when present; the stub derives each frame's
+        bytes from (payload digest, frame index)."""
         if self.mode == "real":
-            raise NotImplementedError("real frame sampling needs pyav")
+            raise NotImplementedError(
+                "real frame sampling needs pyav/ffmpeg — not in this "
+                "container")
         info = self.decode("video", payload)
         idxs = range(0, info["frames"], max(every, 1))
         base = hashlib.blake2b(payload, digest_size=16).digest()
@@ -121,7 +236,7 @@ class MediaDecodeActor:
             width[i], height[i] = info["width"], info["height"]
             frames[i], rate[i] = info["frames"], info["sample_rate"]
             nbytes[i] = len(payloads[i])
-            feats[i] = self.backend.features(payloads[i])
+            feats[i] = self.backend.features(payloads[i], types[i])
         offs = pa.array(np.arange(0, (n + 1) * FEATURE_DIM, FEATURE_DIM,
                                   dtype=np.int32))
         return pa.table({

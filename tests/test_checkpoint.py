@@ -75,3 +75,50 @@ def test_flagship_checkpointed_run_resumes(ray_session, tmp_path):
     _, m3 = run_dedup_checkpointed(path, ckpt, cfg=cfg2, num_partitions=4)
     assert m3["resumed_signatures"]  # sig stage keyed on SignatureConfig… shared
     assert not m3["resumed_edges"]
+
+
+def test_flagship_resumes_after_hard_kill(ray_session, tmp_path):
+    """North-rule resumability under a real crash: a subprocess runs
+    the checkpointed flagship and DIES (os._exit, no cleanup) inside
+    the labels stage, right after the edges checkpoint committed.  A
+    fresh run over the same checkpoint dir must resume signatures and
+    edges from Parquet, rebuild only labels, and produce the same
+    cluster assignment as an uninterrupted run."""
+    import subprocess
+    import sys
+
+    fixture_dir = pages_parquet_dir(300, seed=7, root=str(tmp_path / "fx"))
+    path = os.path.join(fixture_dir, "pages")
+    ckpt = str(tmp_path / "killrun")
+
+    script = f"""
+import os, sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import ray
+ray.init(num_cpus=4, include_dashboard=False, logging_level="ERROR")
+import hyrise_generalized_dedup_ray.pipelines.dedup as dd
+
+def boom(*a, **k):
+    os._exit(9)   # hard death mid-labels: edges checkpoint is committed
+
+dd.connected_components = boom
+dd.run_dedup_checkpointed({path!r}, {ckpt!r}, num_partitions=4)
+"""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # own Ray instance, not the fixture's
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, timeout=300)
+    assert proc.returncode == 9, proc.stderr.decode()[-2000:]
+    assert load_manifest(os.path.join(ckpt, "signatures")) is not None
+    assert load_manifest(os.path.join(ckpt, "edges")) is not None
+    assert load_manifest(os.path.join(ckpt, "labels")) is None
+
+    labels, m = run_dedup_checkpointed(path, ckpt, num_partitions=4)
+    assert m["resumed_signatures"] and m["resumed_edges"]
+    assert not m["resumed_labels"]
+
+    clean, _ = run_dedup_checkpointed(path, str(tmp_path / "cleanrun"),
+                                      num_partitions=4)
+    a = labels.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = clean.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["cluster"].tolist() == b["cluster"].tolist()

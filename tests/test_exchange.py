@@ -169,3 +169,61 @@ def test_exchange_single_shard(ray_session):
     got = out.to_pandas()
     assert got["s"].sum() == v.sum()
     assert len(got) == len(np.unique(k))
+
+
+def test_auto_hierarchical_switch(ray_session, monkeypatch):
+    """Above the shuffle-object bound, hash_exchange_refs switches to
+    the two-level path by itself — and the switched output is
+    identical to the flat exchange's."""
+    from hyrise_generalized_dedup_ray.stages import exchange as ex
+
+    ds, k, v = _make_ds(20_000, 500, seed=6)
+    flat = hash_exchange(ds, _make_identity(), "k",
+                         _make_sum_kernel(), 16, SCHEMA) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+
+    calls = []
+    orig = ex.hash_exchange_hierarchical_refs
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("num_groups"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ex, "hash_exchange_hierarchical_refs", spy)
+    monkeypatch.setattr(ex, "_EXCHANGE_OBJECT_BOUND", 32)
+    auto = hash_exchange(ds, _make_identity(), "k",
+                         _make_sum_kernel(), 16, SCHEMA) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert calls, "hierarchical path did not trigger"
+    assert 1 < calls[0] < 16 and 16 % calls[0] == 0
+    assert flat.equals(auto)
+
+
+def test_auto_hierarchical_join_switch(ray_session, monkeypatch):
+    """exchange_join routes through exchange_join_hierarchical above
+    the object bound with identical results."""
+    from hyrise_generalized_dedup_ray.stages import exchange as ex
+
+    lt = pa.table({"k": pa.array([1, 2, 2, 5, 7] * 40, type=I64),
+                   "i": pa.array(range(200), type=I64)})
+    rt = pa.table({"k2": pa.array([2, 5, 9], type=I64),
+                   "tag": ["x", "y", "z"]})
+    l = ray.data.from_arrow(lt).repartition(4)
+    r = ray.data.from_arrow(rt).repartition(2)
+    base = ex.exchange_join(l, r, on=["k"], right_on=["k2"],
+                            num_partitions=8).to_pandas()
+
+    calls = []
+    orig = ex.exchange_join_hierarchical
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("num_groups"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ex, "exchange_join_hierarchical", spy)
+    monkeypatch.setattr(ex, "_EXCHANGE_OBJECT_BOUND", 24)
+    auto = ex.exchange_join(l, r, on=["k"], right_on=["k2"],
+                            num_partitions=8).to_pandas()
+    assert calls and 1 < calls[0] < 8 and 8 % calls[0] == 0
+    assert sorted(map(tuple, base[["i", "tag"]].values.tolist())) == \
+        sorted(map(tuple, auto[["i", "tag"]].values.tolist()))

@@ -110,3 +110,89 @@ def test_full_outer_join_matches_reference_golden(ray_session):
     want = _parse_positional(
         os.path.join(TBL, "join_operators/int_outer_join_sorted_asc.tbl"))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JoinTestRunner conformance tranche: the reference's systematic join
+# fixtures (join_test_runner/input_table_{left,right}_{0,10,15}.tbl —
+# join_test_runner.cpp builds its whole mode × type × null matrix on
+# exactly these inputs and verifies against JoinVerification).  We run
+# the same matrix through exchange_join and verify against DuckDB,
+# the stand-in for JoinVerification's nested-loop oracle.
+# ---------------------------------------------------------------------------
+
+_JTR = os.path.join(TBL, "join_test_runner")
+
+
+def _load_tbl_table(path: str):
+    """.tbl → pa.Table (keeps schema for zero-row fixtures, which a
+    Dataset round-trip loses)."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    amap = {"int": "int32", "long": "int64", "float": "float",
+            "double": "double", "string": "string"}
+    with open(path) as f:
+        names = f.readline().rstrip("\n").split("|")
+        raw = f.readline().rstrip("\n").split("|")
+    schema = {n: pa.type_for_alias(amap[t.partition("_")[0]])
+              for n, t in zip(names, raw)}
+    return pacsv.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(column_names=names, skip_rows=2),
+        parse_options=pacsv.ParseOptions(delimiter="|"),
+        convert_options=pacsv.ConvertOptions(
+            column_types=schema, null_values=["null"],
+            strings_can_be_null=True))
+
+_JTR_MODES = [
+    ("inner", "SELECT l.l_long, r.r_long FROM l JOIN r ON {pred}"),
+    ("left_outer", "SELECT l.l_long, r.r_long FROM l LEFT JOIN r ON {pred}"),
+    ("right_outer", "SELECT l.l_long, r.r_long FROM l RIGHT JOIN r ON {pred}"),
+    ("full_outer", "SELECT l.l_long, r.r_long FROM l FULL JOIN r ON {pred}"),
+    ("semi", "SELECT l.l_long FROM l SEMI JOIN r ON {pred}"),
+    ("anti", "SELECT l.l_long FROM l ANTI JOIN r ON {pred}"),
+]
+
+
+@pytest.mark.parametrize("lsize,rsize", [(10, 15), (0, 10), (15, 0)])
+@pytest.mark.parametrize("key", ["int_null", "string_null", "float"])
+def test_join_test_runner_matrix(ray_session, lsize, rsize, key):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
+
+    lt = _load_tbl_table(os.path.join(_JTR, f"input_table_left_{lsize}.tbl"))
+    rt = _load_tbl_table(os.path.join(_JTR, f"input_table_right_{rsize}.tbl"))
+    lk, rk = f"l_{key}", f"r_{key}"
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    pred = f"l.{lk} = r.{rk}"
+
+    def norm(df: pd.DataFrame) -> list:
+        vals = []
+        for row in df.itertuples(index=False):
+            vals.append(tuple(None if pd.isna(x) else float(x)
+                              for x in row))
+        return sorted(vals, key=repr)
+
+    for how, sql in _JTR_MODES:
+        cols = ["l_long"] if how in ("semi", "anti") else \
+            ["l_long", "r_long"]
+        # Ray's repartition of a 0-row dataset emits 0-column blocks
+        # (schema lost) — keep empty fixtures as their single block
+        lds = ray.data.from_arrow(lt)
+        rds = ray.data.from_arrow(rt)
+        out = exchange_join(
+            lds.repartition(3) if lt.num_rows else lds,
+            rds.repartition(2) if rt.num_rows else rds,
+            on=[lk], right_on=[rk], how=how, num_partitions=4)
+        got = out.to_pandas()
+        for c in cols:          # all-empty Ray datasets drop columns
+            if c not in got.columns:
+                got[c] = pd.Series(dtype="float64")
+        exp = con.execute(sql.format(pred=pred)).df()
+        assert norm(got[cols]) == norm(exp), (how, key, lsize, rsize)

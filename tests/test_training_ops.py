@@ -160,7 +160,8 @@ def test_multimodal_decode_plumbing(ray_session, sf_dir):
     # determinism: same payload → same features
     b = DecodeBackend("fake")
     assert np.allclose(b.features(b"hello"), b.features(b"hello"))
-    with pytest.raises(NotImplementedError):
+    # real mode rejects junk payloads with a clear error
+    with pytest.raises(ValueError):
         DecodeBackend("real").decode("image", b"...")
 
 
@@ -189,9 +190,9 @@ def test_multimodal_resize_and_frame_sample_plumbing(ray_session, sf_dir):
     # determinism: same payload + index → same frame bytes
     b = DecodeBackend("fake")
     assert b.sample_frames(b"xyz", 10) == b.sample_frames(b"xyz", 10)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):        # junk payload, clear error
         DecodeBackend("real").resize(b"p", 8, 8)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):   # no codec lib here
         DecodeBackend("real").sample_frames(b"p", 5)
 
 
@@ -319,3 +320,95 @@ def test_ivf_default_probe_recall(ray_session, sf_dir):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.6, f"IVF recall {hits/total:.2f}"
+
+
+def _make_wav(rate=8000, seconds=0.05, channels=1) -> bytes:
+    import io
+    import wave
+    n = int(rate * seconds)
+    t = np.arange(n * channels)
+    samples = (np.sin(t * 0.3) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_real_backend_decodes_png_and_wav():
+    """The 'real' backend actually decodes: a PNG encoded by the pure
+    codec comes back with its true dimensions and pixel-derived
+    features; a stdlib-written WAV reports its true frame count and
+    sample rate.  Video (no codec lib in this container) raises at
+    the call site; non-PNG image payloads error clearly."""
+    from hyrise_generalized_dedup_ray.functions.png import (decode_png,
+                                                            encode_png)
+    from hyrise_generalized_dedup_ray.stages.multimodal import DecodeBackend
+
+    be = DecodeBackend("real")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    png = encode_png(img)
+    info = be.decode("image", png)
+    assert (info["width"], info["height"]) == (17, 24)
+    feats = be.features(png, "image")
+    assert feats.shape == (8,)
+    assert abs(feats[0] - img[:, :, 0].mean() / 255.0) < 1e-6
+
+    wav = _make_wav(rate=8000, seconds=0.05)
+    ainfo = be.decode("audio", wav)
+    assert ainfo["sample_rate"] == 8000 and ainfo["frames"] == 400
+    afeats = be.features(wav, "audio")
+    assert afeats.shape == (8,) and afeats[7] == np.float32(8000 / 96000)
+
+    with pytest.raises(NotImplementedError):
+        be.decode("video", b"\x00" * 64)
+    with pytest.raises(ValueError):
+        be.decode("image", b"not a png at all")
+
+
+def test_real_backend_resize_reencodes():
+    from hyrise_generalized_dedup_ray.functions.png import decode_png, encode_png
+    from hyrise_generalized_dedup_ray.stages.multimodal import DecodeBackend
+
+    be = DecodeBackend("real")
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    resized = be.resize(encode_png(img), 8, 4)
+    out = decode_png(resized)
+    assert out.shape == (4, 8, 3)
+    # nearest-neighbor: corner pixels survive exactly
+    assert (out[0, 0] == img[0, 0]).all()
+
+
+def test_decode_media_real_mode_end_to_end(ray_session):
+    """decode_media(mode='real') over an actor pool on actual PNG/WAV
+    payloads — the full Ray plumbing with genuine decodes."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.functions.png import encode_png
+    from hyrise_generalized_dedup_ray.stages.multimodal import decode_media
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            img = rng.integers(0, 256, (10 + i, 20, 3), dtype=np.uint8)
+            rows.append((i, "image", encode_png(img)))
+        else:
+            rows.append((i, "audio", _make_wav(rate=16000,
+                                               seconds=0.01 * (i + 1))))
+    media = pa.table({
+        "media_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "media_type": pa.array([r[1] for r in rows]),
+        "payload": pa.array([r[2] for r in rows], type=pa.binary()),
+        "meta": pa.array(["{}"] * len(rows)),
+    })
+    out = decode_media(ray.data.from_arrow(media), mode="real") \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert out["height"].tolist()[::2] == [10, 12, 14]
+    assert out["width"].tolist()[::2] == [20, 20, 20]
+    assert out["sample_rate"].tolist()[1::2] == [16000] * 3
+    assert out["frames"].tolist()[1::2] == [320, 640, 960]
