@@ -208,6 +208,20 @@ def aggregate(
     pre-aggregated."""
     keys = list(keys)
     has_distinct = any(fn == "count_distinct" for fn, _ in aggs.values())
+    if keys and not has_distinct:
+        # Ray's sort-based groupby comparison-sorts string key blocks
+        # with Python objects — None vs str raises.  String(-null) keys
+        # route through the engine's own one-shuffle kernel, which
+        # hashes key VALUES null-safely (golden parity:
+        # groupby_string_1gb_1agg/count_str_null.tbl).
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema) and any(
+                pa.types.is_string(base.field(k).type)
+                or pa.types.is_large_string(base.field(k).type)
+                for k in keys):
+            return _aggregate_with_distinct(ds, keys, aggs,
+                                            num_partitions or 16)
     if has_distinct and keys:
         return _aggregate_with_distinct(ds, keys, aggs,
                                         num_partitions or 16)
@@ -302,8 +316,6 @@ def _aggregate_with_distinct(
             if isinstance(col_, pa.ChunkedArray):
                 col_ = col_.combine_chunks()
             valid = pc.is_valid(col_).to_numpy(zero_copy_only=False)
-            vals = col_.to_numpy(zero_copy_only=False)
-            vals_o = vals[order]
             valid_o = valid[order].astype(np.int64)
             cnt = np.add.reduceat(valid_o, starts)
             if fn == "count":
@@ -337,13 +349,73 @@ def _aggregate_with_distinct(
                                  minlength=len(starts)).astype(np.int64)
                 out[name] = pa.array(nd, type=pa.int64())
             else:
-                fv = np.where(valid_o, vals_o.astype(np.float64), 0.0)
-                s = np.add.reduceat(fv, starts)
                 # SQL/reference null conventions (golden .tbl parity,
                 # resources/test_data/tbl/aggregateoperator): an
                 # all-null group aggregates to NULL (never 0/±inf),
-                # and STDDEV_SAMP needs ≥2 non-null values
+                # and STDDEV_SAMP needs ≥2 non-null values.
+                # Dtype-preserving like the reference's per-type
+                # AggregateTraits (aggregate_traits.hpp): integer /
+                # temporal SUM/MIN/MAX stay exact int64 (float64 loses
+                # exactness past 2^53 and breaks oracle value-hash
+                # parity), via fill_null sentinels — Arrow's to_numpy
+                # on a nullable int column would silently yield float64
+                # NaNs.
+                t = col_.type
+                int_like = (pa.types.is_integer(t)
+                            or pa.types.is_boolean(t))
+                temporal = pa.types.is_temporal(t)
                 empty = cnt == 0
+                if fn in ("min", "max") and not (
+                        int_like or temporal or pa.types.is_floating(t)):
+                    # generic ordered path (strings, binary, …):
+                    # rank rows by sorted dictionary position, reduceat
+                    # the ranks, map winning rank back to its value
+                    enc = col_.dictionary_encode()
+                    d = enc.dictionary
+                    sort_idx = pc.array_sort_indices(d).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    rank_of = np.empty(max(len(d), 1), dtype=np.int64)
+                    rank_of[sort_idx] = np.arange(len(d), dtype=np.int64)
+                    idx = enc.indices.to_numpy(zero_copy_only=False)
+                    idx = (np.where(np.isnan(idx), -1, idx)
+                           if idx.dtype.kind == "f"
+                           else idx).astype(np.int64)
+                    big = np.int64(len(d) + 1)
+                    sent = big if fn == "min" else np.int64(-1)
+                    rk = np.where(idx >= 0,
+                                  rank_of[np.maximum(idx, 0)], sent)
+                    red = (np.minimum if fn == "min"
+                           else np.maximum).reduceat(rk[order], starts)
+                    safe = np.where(empty, 0, red)
+                    out[name] = d.take(
+                        pa.array(sort_idx[safe], type=pa.int64())
+                    ) if len(d) else pa.nulls(len(starts), type=t)
+                    if len(d):
+                        out[name] = pc.if_else(
+                            pa.array(~empty), out[name], pa.scalar(None, t))
+                    continue
+                if fn in ("sum", "min", "max") and (int_like or temporal):
+                    i64 = pc.cast(col_, pa.int64())
+                    if fn == "sum":
+                        arr = pc.fill_null(i64, 0).to_numpy()[order]
+                        s = np.add.reduceat(arr, starts)
+                        out[name] = pa.array(s, type=pa.int64(), mask=empty)
+                    else:
+                        info = np.iinfo(np.int64)
+                        sent = info.max if fn == "min" else info.min
+                        arr = pc.fill_null(i64, sent).to_numpy()[order]
+                        red = (np.minimum if fn == "min"
+                               else np.maximum).reduceat(arr, starts)
+                        res = pa.array(red, type=pa.int64(), mask=empty)
+                        # SUM(int) is BIGINT in SQL; MIN/MAX keep the
+                        # input type (timestamps round-trip via int64)
+                        out[name] = pc.cast(res, t) if not (
+                            pa.types.is_boolean(t)) else pc.cast(
+                                pc.cast(res, pa.uint8()), t)
+                    continue
+                vals_o = col_.to_numpy(zero_copy_only=False)[order]
+                fv = np.where(valid_o, vals_o.astype(np.float64), 0.0)
+                s = np.add.reduceat(fv, starts)
                 if fn == "sum":
                     out[name] = pa.array(s, type=pa.float64(), mask=empty)
                 elif fn in ("avg", "mean"):

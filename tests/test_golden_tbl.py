@@ -116,3 +116,87 @@ def test_global_aggregates_match_reference_golden(ray_session):
     got = aggregate(ds, [], {"SUM(b)": agg("sum", "b")}).to_pandas()
     want = _parse_tbl(os.path.join(d, "sum.tbl"))
     assert _canon(got.to_dict("records")) == _canon(want)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 tranche: global (0gb), two-group-key, string-group-key and
+# multi-aggregate goldens — the rest of the reference's
+# aggregate_test.cpp matrix (SURVEY.md §5 conformance breadth).
+# ---------------------------------------------------------------------------
+
+TRANCHE = [
+    # (dir, input, golden, keys, {out_col: agg spec})
+    ("0gb_1agg", "input.tbl", "sum.tbl", [], {"SUM(b)": agg("sum", "b")}),
+    ("0gb_1agg", "input.tbl", "avg.tbl", [], {"AVG(b)": agg("avg", "b")}),
+    ("0gb_1agg", "input.tbl", "min.tbl", [], {"MIN(b)": agg("min", "b")}),
+    ("0gb_1agg", "input.tbl", "max.tbl", [], {"MAX(b)": agg("max", "b")}),
+    ("0gb_1agg", "input.tbl", "count.tbl", [],
+     {"COUNT(b)": agg("count", "b")}),
+    ("0gb_1agg", "input.tbl", "stddev_samp.tbl", [],
+     {"STDDEV_SAMP(b)": agg("std", "b")}),
+    ("groupby_int_2gb_1agg", "input.tbl", "sum.tbl", ["a", "b"],
+     {"SUM(c)": agg("sum", "c")}),
+    ("groupby_int_2gb_1agg", "input.tbl", "avg.tbl", ["a", "b"],
+     {"AVG(c)": agg("avg", "c")}),
+    ("groupby_int_2gb_1agg", "input.tbl", "min.tbl", ["a", "b"],
+     {"MIN(c)": agg("min", "c")}),
+    ("groupby_int_2gb_1agg", "input.tbl", "max.tbl", ["a", "b"],
+     {"MAX(c)": agg("max", "c")}),
+    ("groupby_int_2gb_1agg", "input.tbl", "count.tbl", ["a", "b"],
+     {"COUNT(c)": agg("count", "c")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "sum.tbl", ["a"],
+     {"SUM(b)": agg("sum", "b")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "avg.tbl", ["a"],
+     {"AVG(b)": agg("avg", "b")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "max.tbl", ["a"],
+     {"MAX(b)": agg("max", "b")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "min.tbl", ["a"],
+     {"MIN(b)": agg("min", "b")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "count.tbl", ["a"],
+     {"COUNT(b)": agg("count", "b")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "count_str.tbl", ["a"],
+     {"COUNT(a)": agg("count", "a")}),
+    ("groupby_string_1gb_1agg", "input_null.tbl", "count_str_null.tbl",
+     ["a"], {"COUNT(b)": agg("count", "b")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "min_str.tbl", [],
+     {"MIN(a)": agg("min", "a")}),
+    ("groupby_string_1gb_1agg", "input.tbl", "max_str.tbl", [],
+     {"MAX(a)": agg("max", "a")}),
+    ("groupby_int_1gb_2agg", "input.tbl", "sum_avg.tbl", ["a"],
+     {"SUM(b)": agg("sum", "b"), "AVG(c)": agg("avg", "c")}),
+    ("groupby_int_1gb_2agg", "input.tbl", "sum_sum.tbl", ["a"],
+     {"SUM(b)": agg("sum", "b"), "SUM(c)": agg("sum", "c")}),
+    ("groupby_int_1gb_2agg", "input.tbl", "min_max.tbl", ["a"],
+     {"MIN(b)": agg("min", "b"), "MAX(c)": agg("max", "c")}),
+    ("groupby_int_1gb_2agg", "input.tbl", "sum_count.tbl", ["a"],
+     {"SUM(b)": agg("sum", "b"), "COUNT(c)": agg("count", "c")}),
+    ("groupby_int_1gb_2agg", "input.tbl", "max_stddev_samp.tbl", ["a"],
+     {"MAX(b)": agg("max", "b"),
+      "STDDEV_SAMP(c)": agg("std", "c")}),
+    ("groupby_int_2gb_2agg", "input.tbl", "max_avg.tbl", ["a", "b"],
+     {"MAX(c)": agg("max", "c"), "AVG(d)": agg("avg", "d")}),
+    # NB: this dir's avg_avg.tbl is a stale fixture the reference never
+    # loads (values are actually MIN/AVG); aggregate_test.cpp:523 uses
+    # min_avg.tbl.
+    ("groupby_int_2gb_2agg", "input.tbl", "min_avg.tbl", ["a", "b"],
+     {"MIN(c)": agg("min", "c"), "AVG(d)": agg("avg", "d")}),
+    ("groupby_int_2gb_2agg", "input.tbl", "sum_sum.tbl", ["a", "b"],
+     {"SUM(c)": agg("sum", "c"), "SUM(d)": agg("sum", "d")}),
+    ("groupby_int_2gb_2agg", "input.tbl", "sum_count.tbl", ["a", "b"],
+     {"SUM(c)": agg("sum", "c"), "COUNT(d)": agg("count", "d")}),
+]
+
+
+@pytest.mark.parametrize("d,inp,golden,keys,spec", TRANCHE,
+                         ids=[f"{c[0]}/{c[2]}" for c in TRANCHE])
+def test_aggregate_tranche_matches_reference_golden(ray_session, d, inp,
+                                                    golden, keys, spec):
+    base = os.path.join(BASE, d)
+    ds = load_tbl(os.path.join(base, inp))
+    got = aggregate(ds, keys, spec).to_pandas().to_dict("records")
+    for r in got:
+        for k, v in r.items():
+            if isinstance(v, float) and math.isnan(v):
+                r[k] = None
+    want = _parse_tbl(os.path.join(base, golden))
+    assert _canon(got) == _canon(want), f"{d}/{golden}"

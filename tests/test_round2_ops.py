@@ -427,3 +427,38 @@ def test_stratified_sample_null_group_and_dict_rates(ray_session):
         got = sorted(out[out["g"].isna() if g is None else
                          (out["g"] == g)]["id"])
         assert got == sorted(kept["id"] if len(kept) else []), g
+
+
+def test_execlog_worker_records_reach_driver(ray_session):
+    """record_exec inside a Ray task routes through the detached sink
+    actor and shows up in the driver's exec_rows()/log_rows() — the
+    real-cluster behavior the meta_exec/meta_log tables promise."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.state import execlog
+
+    execlog.clear()
+    execlog.record_exec("driver_stage", 0.5, 10)
+
+    @ray.remote
+    def worker_stage():
+        from hyrise_generalized_dedup_ray.state import execlog as el
+        el.record_exec("worker_stage", 1.25, 42)
+        el.log("from a worker", level="warn")
+        return True
+
+    assert ray.get(worker_stage.remote())
+    # fire-and-forget append: poll briefly for the sink to drain
+    import time
+    for _ in range(50):
+        rows = execlog.exec_rows()
+        if any(r[0] == "worker_stage" for r in rows):
+            break
+        time.sleep(0.1)
+    rows = execlog.exec_rows()
+    assert ("driver_stage", 0.5, 10) in rows
+    assert ("worker_stage", 1.25, 42) in rows
+    assert any(m == "from a worker" and lv == "warn"
+               for _, lv, m in execlog.log_rows())
+    execlog.clear()
+    assert execlog.exec_rows() == []
