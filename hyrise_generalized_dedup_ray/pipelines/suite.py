@@ -544,6 +544,52 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def decontaminate_docs(sf_dir: str):
+    """Train/test decontamination: training docs sharing any 5-word
+    gram with the held-out eval slice (doc_id % 50 == 7) are flagged;
+    eval grams broadcast once, train side streams (no shuffle)."""
+    from hyrise_generalized_dedup_ray.pipelines.decontam import decontaminate
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    is_eval = R.eq(R.mod(col("doc_id"), lit(50)), lit(7))
+    ev = table_scan(docs, is_eval)
+    train = table_scan(docs, R.not_(is_eval))
+    return decontaminate(train, ev, n=5)
+
+
+def url_dedup(sf_dir: str):
+    """URL canonicalization + per-URL dedup, the web-crawl ingest
+    primitive: lowercase, strip scheme/www/query/fragment/trailing
+    slashes, then ONE value-keyed shuffle picks min-id representative +
+    duplicate count per canonical URL.  The messy URL is synthesized
+    deterministically from (source, doc_id) in both the engine and the
+    SQL twin (documents has no url column)."""
+    import pyarrow.compute as pc
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        url = pc.binary_join_element_wise(
+            pa.scalar("HTTPS://WWW."), batch.column("source"),
+            pa.scalar(".Example.COM/p/"),
+            pc.cast(pc.subtract(d, pc.multiply(pc.divide(d, 37),
+                                               pa.scalar(37))),
+                    pa.string()),
+            pa.scalar("/?utm_source=feed&ref=rss#frag"), "")
+        cu = pc.utf8_lower(url)
+        cu = pc.replace_substring_regex(cu, r"^https?://", "")
+        cu = pc.replace_substring_regex(cu, r"^www\.", "")
+        cu = pc.replace_substring_regex(cu, r"[?#].*$", "")
+        cu = pc.replace_substring_regex(cu, r"/+$", "")
+        return pa.table({"doc_id": d, "canon_url": cu})
+
+    c_ = docs.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return aggregate(c_, ["canon_url"], {
+        "rep_id": agg("min", "doc_id"), "n_dups": agg("count_star")})
+
+
 def exact_dedup(sf_dir: str):
     from hyrise_generalized_dedup_ray.pipelines.docs import exact_dedup_docs
     return exact_dedup_docs(load_table(sf_dir, "documents"))
@@ -1258,6 +1304,8 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "redact_pii": redact_pii,
     "doc_fingerprints": doc_fingerprints,
+    "decontaminate_docs": decontaminate_docs,
+    "url_dedup": url_dedup,
     "exact_dedup": exact_dedup,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
@@ -2100,3 +2148,49 @@ FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id
 
 
 ORACLE_SQL["doc_fingerprints"] = _doc_fingerprints_oracle()
+
+
+# --------------------------------------------------------------------------
+# decontamination + URL dedup twins
+# --------------------------------------------------------------------------
+
+ORACLE_SQL["decontaminate_docs"] = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS s(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7),
+tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 7),
+hit AS (
+  SELECT tr.doc_id, COUNT(*) AS n_overlap
+  FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 50 <> 7
+"""
+
+ORACLE_SQL["url_dedup"] = r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM/p/'
+         || CAST(doc_id % 37 AS VARCHAR)
+         || '/?utm_source=feed&ref=rss#frag' AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^https?://', ''), '^www\.', ''),
+             '[?#].*$', ''), '/+$', '') AS canon_url
+  FROM u
+)
+SELECT canon_url, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+FROM c GROUP BY canon_url
+"""

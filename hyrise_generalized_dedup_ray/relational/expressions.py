@@ -138,10 +138,20 @@ def between(x, lo, hi, bounds: str = "[]") -> Expr:
 
 
 def in_(x, values: Sequence[Any]) -> Expr:
-    """IN (…) value list (in_expression.hpp:10)."""
+    """IN (…) value list (in_expression.hpp:10).
+
+    SQL three-valued logic: NULL IN (…) is NULL, not FALSE —
+    ``pc.is_in`` alone would return FALSE and ``NOT (x IN …)`` would
+    then wrongly keep null rows (sqlite_testrunner_queries.sql's
+    ``NOT (b IN (12, 13, 14))`` family)."""
     x = _wrap(x)
     vset = pa.array(list(values))
-    return _Kernel(lambda a: pc.is_in(a, value_set=vset), x)
+
+    def k(a):
+        return pc.if_else(pc.is_valid(a), pc.is_in(a, value_set=vset),
+                          pa.scalar(None, pa.bool_()))
+
+    return _Kernel(k, x)
 
 
 def is_null(x) -> Expr: return _Kernel(pc.is_null, _wrap(x))

@@ -122,17 +122,22 @@ def sort(
     keys = list(keys)
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
+    else:
+        descending = list(descending)
+    # tiebreak columns are just additional ascending keys — they get
+    # the same null-flag treatment (a nullable tiebreak would otherwise
+    # order its nulls per Arrow defaults, breaking the total order)
+    if tiebreak:
+        tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+        keys += [t for t in tb if t not in keys]
+        descending += [False] * (len(keys) - len(descending))
     flag_names = [f"_nf_{k}" for k in keys]
     sort_cols: list[str] = []
     sort_desc: list[bool] = []
-    for k, fn_, d in zip(keys, flag_names, list(descending)):
+    for k, fn_, d in zip(keys, flag_names, descending):
         sort_cols += [fn_, k]
         # flag = 1 for valid: ascending flag ⇒ nulls (0) first
         sort_desc += [not nulls_first, d]
-    if tiebreak:
-        tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
-        sort_cols += tb
-        sort_desc += [False] * len(tb)
 
     def add_flags(batch: pa.Table) -> pa.Table:
         for k, fn_ in zip(keys, flag_names):
@@ -231,7 +236,11 @@ def aggregate(
         if fn == "count_distinct":
             distincts[name] = on
         elif fn == "count_star":
-            plain.append(Count(alias_name=name))
+            # Ray 2.49's Count() with no `on` returns 0 (observed);
+            # COUNT(*) = count ANY column with nulls included
+            star_col = keys[0] if keys else ds.schema().names[0]
+            plain.append(Count(on=star_col, ignore_nulls=False,
+                               alias_name=name))
         elif fn == "count":
             plain.append(Count(on=on, ignore_nulls=True, alias_name=name))
         else:

@@ -1,0 +1,470 @@
+"""SQLite-testrunner conformance tranche.
+
+The reference executes 488 SQL statements against the tables in
+resources/test_data/tbl/sqlite/ and diffs every result against SQLite
+(src/test/lib/sql/sqlite_testrunner/sqlite_testrunner.cpp:1-40,
+resources/test_data/sqlite_testrunner_queries.sql).  This module ports
+the statement DIVERSITY of that runner: each case pairs a hand-built
+engine pipeline with the original statement's SQL, both executed over
+the reference's own sqlite tranche tables (mixed / mixed_null /
+id_int_int_int_{50,100} / int_date), with DuckDB standing in for
+SQLite as the oracle.  Families covered, in the queries file's order:
+table scans (column-vs-column, expression predicates, OR/BETWEEN/IN/
+NOT, string comparisons, null semantics), projections (arithmetic,
+aliases, duplicated outputs), aggregates (expression group keys,
+HAVING, COUNT variants, COUNT DISTINCT, null groups), DISTINCT,
+ORDER BY (order-sensitive, null placement), LIMIT, joins (string keys,
+multi-table chains, non-equi, multi-predicate), EXISTS/NOT EXISTS, and
+scalar subqueries.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from hyrise_generalized_dedup_ray import relational as R
+
+TBL = "/root/reference/resources/test_data/tbl/sqlite"
+TABLES = {
+    "mixed": f"{TBL}/mixed_types_100.tbl",
+    "mixed_null": f"{TBL}/mixed_types_null_100.tbl",
+    "iii50": f"{TBL}/id_int_int_int_50.tbl",
+    "iii100": f"{TBL}/id_int_int_int_100.tbl",
+    "int_date": f"{TBL}/int_date.tbl",
+}
+# names as they appear in the reference's SQL statements
+SQL_NAMES = {"iii50": "id_int_int_int_50", "iii100": "id_int_int_int_100"}
+
+
+@pytest.fixture(scope="module")
+def tabs(ray_session):
+    out = {}
+    for name, path in TABLES.items():
+        ds = R.load_tbl(path)
+        out[name] = pa.concat_tables(ray.get(ds.to_arrow_refs()),
+                                     promote_options="permissive")
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(tabs):
+    con = duckdb.connect()
+    for name, tab in tabs.items():
+        con.register(SQL_NAMES.get(name, name), tab)
+    return con
+
+
+def mk(tabs, name):
+    return ray.data.from_arrow(tabs[name])
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="first",
+                          kind="mergesort").reset_index(drop=True)
+
+
+def assert_same(ours: pd.DataFrame, con, sql: str, ordered: bool = False):
+    theirs = con.execute(sql).fetchdf()
+    assert sorted(ours.columns) == sorted(theirs.columns), \
+        (sorted(ours.columns), sorted(theirs.columns))
+    assert len(ours) == len(theirs), (len(ours), len(theirs))
+    a, b = (ours[sorted(ours.columns)].reset_index(drop=True),
+            theirs[sorted(theirs.columns)].reset_index(drop=True)) \
+        if ordered else (_canon(ours), _canon(theirs))
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        try:
+            fa = av.astype(float)
+            fb = bv.astype(float)
+            both_nan = np.isnan(fa) & np.isnan(fb)
+            np.testing.assert_allclose(
+                np.where(both_nan, 0.0, fa), np.where(both_nan, 0.0, fb),
+                rtol=2e-6, err_msg=c)
+        except (ValueError, TypeError):
+            assert (pd.isna(av) == pd.isna(bv)).all(), c
+            m = ~pd.isna(av)
+            assert (av[m] == bv[m]).all(), c
+
+
+c, L = R.col, R.lit
+
+
+def _scalar(ds, colname):
+    return ds.to_pandas()[colname].iloc[0]
+
+
+# --------------------------------------------------------------------
+# (name, builder(tabs) -> Dataset|DataFrame, sql, ordered)
+# Each sql is a statement from sqlite_testrunner_queries.sql (aliases
+# added where the original selects duplicate column names).
+# --------------------------------------------------------------------
+CASES = [
+    # -- table scans -------------------------------------------------
+    ("scan_eq_int",
+     lambda T: R.table_scan(mk(T, "mixed"), c("b") == L(10)),
+     "SELECT * FROM mixed WHERE b = 10"),
+    ("scan_col_vs_col_and",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            (c("a") > c("d")) & (c("b") > L(1))),
+     "SELECT * FROM mixed WHERE a > d AND b > 1"),
+    ("scan_col_eq_col_str",
+     lambda T: R.table_scan(mk(T, "mixed"), c("a") == c("d")),
+     "SELECT * FROM mixed WHERE a = d"),
+    ("scan_str_and_float",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            (c("a") == L("a")) & (c("c") <= L(65.31))),
+     "SELECT * FROM mixed WHERE a = 'a' AND c <= 65.31"),
+    ("scan_reversed_literal",
+     lambda T: R.table_scan(mk(T, "mixed"), L(40) >= c("b")),
+     "SELECT * FROM mixed WHERE 40 >= b"),
+    ("scan_between",
+     lambda T: R.table_scan(mk(T, "mixed"), R.between(c("b"), L(20), L(45))),
+     "SELECT * FROM mixed WHERE b BETWEEN 20 AND 45"),
+    ("scan_between_float_bound",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("b"), L(20), L(45.5))),
+     "SELECT * FROM mixed WHERE b BETWEEN 20 AND 45.5"),
+    ("scan_empty_between_or",
+     lambda T: R.table_scan(mk(T, "mixed"), (c("b") == L(10)) |
+                            R.between(c("b"), L(45), L(20))),
+     "SELECT * FROM mixed WHERE b = 10 OR b BETWEEN 45 AND 20"),
+    ("scan_between_col_bound",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("b"), c("c"), L(45))),
+     "SELECT * FROM mixed WHERE b BETWEEN c AND 45"),
+    ("scan_or",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            (c("b") >= L(21)) | (c("c") < L(72.76))),
+     "SELECT * FROM mixed WHERE b >= 21 OR c < 72.76"),
+    ("scan_or_nested",
+     lambda T: R.table_scan(mk(T, "mixed"), (c("b") >= L(21)) |
+                            ((c("b") <= L(30)) & (c("c") > L(50.0)))),
+     "SELECT * FROM mixed WHERE b >= 21 OR (b <= 30 AND c > 50.0)"),
+    ("scan_expression_pred",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            (c("b") + c("c")) < (c("c") * c("b") - L(100))),
+     "SELECT * FROM mixed WHERE b + c < c * b - 100"),
+    ("scan_id_gt_b",
+     lambda T: R.table_scan(mk(T, "mixed"), c("id") > c("b")),
+     "SELECT * FROM mixed WHERE id > b"),
+    ("scan_int_vs_float_literal",
+     lambda T: R.table_scan(mk(T, "mixed"), c("id") >= L(5.5)),
+     "SELECT * FROM mixed WHERE id >= 5.5"),
+    ("scan_between_float_on_int",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("id"), L(5.5), L(8))),
+     "SELECT * FROM mixed WHERE id BETWEEN 5.5 AND 8"),
+    ("scan_str_gt",
+     lambda T: R.table_scan(mk(T, "mixed"), c("d") > L("c")),
+     "SELECT * FROM mixed WHERE d > 'c'"),
+    ("scan_str_ge",
+     lambda T: R.table_scan(mk(T, "mixed"), c("d") >= L("jp")),
+     "SELECT * FROM mixed WHERE d >= 'jp'"),
+    ("scan_is_null",
+     lambda T: R.table_scan(mk(T, "mixed_null"), R.is_null(c("b"))),
+     "SELECT * FROM mixed_null WHERE b IS NULL"),
+    ("scan_expr_is_not_null",
+     lambda T: R.table_scan(mk(T, "mixed_null"),
+                            R.is_not_null(c("b") * c("c"))),
+     "SELECT * FROM mixed_null WHERE b*c IS NOT NULL"),
+    ("scan_null_eq",
+     lambda T: R.table_scan(mk(T, "mixed_null"), c("b") == L(12)),
+     "SELECT * FROM mixed_null WHERE b = 12"),
+    ("scan_not_eq",
+     lambda T: R.table_scan(mk(T, "mixed_null"), R.not_(c("b") == L(12))),
+     "SELECT * FROM mixed_null WHERE NOT (b = 12)"),
+    ("scan_not_in",
+     lambda T: R.table_scan(mk(T, "mixed_null"),
+                            R.not_(R.in_(c("b"), [12, 13, 14]))),
+     "SELECT * FROM mixed_null WHERE NOT (b IN (12, 13, 14))"),
+    ("scan_out_of_int32_range",
+     lambda T: R.table_scan(mk(T, "mixed"), (c("b") > L(-3000000000)) &
+                            (c("b") < L(3000000000))),
+     "SELECT * FROM mixed WHERE b > -3000000000 AND b < 3000000000"),
+    ("scan_between_rewrite",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            (c("a") >= L(20)) & (c("a") <= L(90))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 90"),
+    ("scan_pruning_chain",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         (c("a") >= L(20)) & (c("a") <= L(40)) & (c("c") <= L(35)) &
+         (c("b") >= L(49)) & (c("a") >= L(21)) & (c("b") <= L(95)) &
+         (c("c") <= L(40)) & (c("c") >= L(23))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 40 AND "
+     "c <= 35 AND b >= 49 AND a >= 21 AND b <= 95 AND c <= 40 AND c >= 23"),
+    ("scan_or_of_ranges",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            ((c("a") >= L(20)) & (c("a") <= L(40))) |
+                            ((c("b") >= L(50)) & (c("b") <= L(95)))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 40 "
+     "OR b >= 50 AND b <= 95"),
+    ("scan_const_true_pred",
+     lambda T: mk(T, "mixed_null"),
+     "SELECT * FROM mixed_null WHERE 4 > 3"),
+    # -- projection --------------------------------------------------
+    ("proj_neg",
+     lambda T: R.projection(mk(T, "mixed"), {"neg_b": R.neg(c("b"))}),
+     "SELECT -b as neg_b FROM mixed"),
+    ("proj_b_plus_c",
+     lambda T: R.projection(mk(T, "mixed"), {"s": c("b") + c("c")}),
+     "SELECT b + c AS s FROM mixed"),
+    ("proj_rational",
+     lambda T: R.projection(mk(T, "mixed"), {
+         "x": (c("b") * c("c")) / c("b") + (c("c") * c("c")) / c("b")
+              - c("b") / c("b")}),
+     "SELECT (b * c) / b + (c * c) / b - b / b as x FROM mixed"),
+    ("proj_mixed_consts",
+     lambda T: R.projection(mk(T, "mixed_null"), {
+         "b": c("b"), "c": L(4) + L(6), "d": c("b") + L(4),
+         "e": L(5.0) + c("c")}),
+     "SELECT b, 4+6 as c, b+4 AS d, 5.0+c AS e FROM mixed_null"),
+    ("proj_int_div_chain",
+     lambda T: R.projection(mk(T, "iii100"),
+                            {"calc": c("a") * c("b") / c("c")}),
+     "SELECT a*b//c AS calc FROM id_int_int_int_100"),
+    ("proj_duplicate_aliases",
+     lambda T: R.projection(mk(T, "mixed"), {
+         "a1": c("a"), "b2": c("b"), "b3": c("b"), "a3": c("a"),
+         "b1": c("b"), "a2": c("a")}),
+     "SELECT a AS a1, b AS b2, b AS b3, a AS a3, b AS b1, a AS a2 "
+     "FROM mixed"),
+    # -- aggregates --------------------------------------------------
+    ("agg_sum_expr",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed"), {"bb": c("b") + c("b")}),
+         [], {"sum_b_b": R.agg("sum", "bb")}),
+     "SELECT SUM(b + b) AS sum_b_b FROM mixed"),
+    ("agg_group_by_expr",
+     lambda T: R.projection(
+         R.aggregate(
+             R.projection(mk(T, "mixed"),
+                          {"gk": c("id") + L(5), "b": c("b"), "c": c("c")}),
+             ["gk"], {"s": R.agg("sum", "b"), "av": R.agg("avg", "c")}),
+         {"x": c("s") + c("av")}),
+     "SELECT SUM(b) + AVG(c) AS x FROM mixed GROUP BY id + 5"),
+    ("agg_min_by_two_keys",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), ["d", "c"],
+                     {"m": R.agg("min", "id")}), {"m": c("m")}),
+     "SELECT MIN(id) AS m FROM mixed GROUP BY d, c"),
+    ("agg_group_string",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a"],
+                           {"s": R.agg("sum", "b"), "av": R.agg("avg", "c")}),
+     "SELECT a, SUM(b) AS s, AVG(c) AS av FROM mixed GROUP BY a"),
+    ("agg_two_keys_max_avg",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a", "b"],
+                           {"mx": R.agg("max", "c"), "av": R.agg("avg", "b")}),
+     "SELECT a, b, MAX(c) AS mx, AVG(b) AS av FROM mixed GROUP BY a, b"),
+    ("agg_count_star_plus_1",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), [], {"n": R.agg("count_star")}),
+         {"np1": c("n") + L(1)}),
+     "SELECT COUNT(*) + 1 AS np1 FROM mixed"),
+    ("agg_count_star_by_a_ordered_expr",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a"],
+                           {"n": R.agg("count_star")}),
+     "SELECT a, COUNT(*) AS n FROM mixed GROUP BY a"),
+    ("agg_count_sum_expr",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "iii100"), {"ab": c("a") + c("b")}),
+         [], {"n": R.agg("count_star"), "s": R.agg("sum", "ab")}),
+     "SELECT COUNT(*) AS n, SUM(a + b) AS s FROM id_int_int_int_100"),
+    ("agg_count_expr",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed"), {"bc": c("b") + c("c")}),
+         [], {"n": R.agg("count", "bc")}),
+     "SELECT COUNT(b + c) AS n FROM mixed"),
+    ("agg_count_distinct_by_a",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a"],
+                           {"d": ("count_distinct", "b")}),
+     "SELECT a, COUNT(DISTINCT b) as d FROM mixed GROUP BY a"),
+    ("agg_null_max",
+     lambda T: R.aggregate(mk(T, "mixed_null"), ["a"],
+                           {"mx": R.agg("max", "b")}),
+     "SELECT a, MAX(b) AS mx FROM mixed_null GROUP BY a"),
+    ("agg_null_sum_avg_counts",
+     lambda T: R.aggregate(mk(T, "mixed_null"), ["a"], {
+         "s": R.agg("sum", "b"), "av": R.agg("avg", "b"),
+         "nb": R.agg("count", "b"), "n": R.agg("count_star")}),
+     "SELECT a, SUM(b) AS s, AVG(b) AS av, COUNT(b) AS nb, "
+     "COUNT(*) AS n FROM mixed_null GROUP BY a"),
+    ("agg_output_scanned",
+     lambda T: R.projection(
+         R.table_scan(
+             R.aggregate(mk(T, "mixed"), ["a", "b"],
+                         {"max_b": R.agg("max", "b"),
+                          "min_c": R.agg("min", "c")}),
+             R.between(c("b"), L(20), L(50)) & (c("min_c") > L(15))),
+         {"b": c("b"), "min_c": c("min_c"), "max_b": c("max_b")}),
+     "SELECT b, sub.min_c, max_b FROM (SELECT a, b, MAX(b) AS max_b, "
+     "MIN(c) AS min_c FROM mixed GROUP BY a, b) as sub "
+     "WHERE b BETWEEN 20 AND 50 AND min_c > 15"),
+    ("agg_having",
+     lambda T: R.table_scan(
+         R.aggregate(mk(T, "mixed"), ["a", "b"],
+                     {"mx": R.agg("max", "b"), "av": R.agg("avg", "c")}),
+         (c("mx") >= L(10)) & (c("mx") < L(40))),
+     "SELECT a, b, MAX(b) AS mx, AVG(c) AS av FROM mixed GROUP BY a, b "
+     "HAVING MAX(b) >= 10 AND MAX(b) < 40"),
+    ("agg_having_unselected",
+     lambda T: R.projection(
+         R.table_scan(
+             R.aggregate(mk(T, "mixed"), ["a", "b"],
+                         {"av": R.agg("avg", "b"),
+                          "mxc": R.agg("max", "c")}),
+             (c("mxc") > L(10)) & (c("mxc") <= L(30))),
+         {"a": c("a"), "b": c("b"), "av": c("av")}),
+     "SELECT a, b, AVG(b) AS av FROM mixed GROUP BY a, b "
+     "HAVING MAX(c) > 10 AND MAX(c) <= 30"),
+    # -- DISTINCT ----------------------------------------------------
+    ("distinct_a",
+     lambda T: R.distinct(mk(T, "mixed"), ["a"]),
+     "SELECT DISTINCT a FROM mixed"),
+    ("distinct_a_b",
+     lambda T: R.distinct(mk(T, "mixed"), ["a", "b"]),
+     "SELECT DISTINCT a, b FROM mixed"),
+    ("distinct_star",
+     lambda T: R.distinct(mk(T, "mixed")),
+     "SELECT DISTINCT * FROM mixed"),
+    ("distinct_min_by_a",
+     lambda T: R.distinct(
+         R.projection(R.aggregate(mk(T, "mixed"), ["a"],
+                                  {"m": R.agg("min", "b")}),
+                      {"m": c("m")}), ["m"]),
+     "SELECT DISTINCT MIN(b) AS m FROM mixed GROUP BY a"),
+    # -- ORDER BY (order-sensitive compares) --------------------------
+    ("order_by_a_b", lambda T: R.sort(
+        mk(T, "mixed"), ["a", "b"], tiebreak=["id"]),
+     "SELECT * FROM mixed ORDER BY a, b, id", True),
+    ("order_by_b_desc", lambda T: R.sort(
+        mk(T, "mixed"), ["a", "b"], descending=[False, True],
+        tiebreak=["id"]),
+     "SELECT * FROM mixed ORDER BY a, b DESC, id", True),
+    ("order_by_null_col", lambda T: R.sort(
+        mk(T, "mixed_null"), ["b"], tiebreak=["c", "d", "a"]),
+     "SELECT * FROM mixed_null ORDER BY b NULLS FIRST, "
+     "c NULLS FIRST, d NULLS FIRST, a NULLS FIRST", True),
+    # -- LIMIT -------------------------------------------------------
+    ("limit_77",
+     lambda T: R.limit(R.sort(mk(T, "mixed"), ["id"]), 77),
+     "SELECT * FROM mixed ORDER BY id LIMIT 77", True),
+    # -- joins -------------------------------------------------------
+    ("join_string_b_key",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "mixed"), {"la": c("a"), "lb": c("b")}),
+         R.projection(mk(T, "mixed_null"), {"ra": c("a"), "rb": c("b")}),
+         on=["lb"], right_on=["rb"]),
+     'SELECT l.a AS la, l.b AS lb, r.a AS ra FROM mixed AS l '
+     'JOIN mixed_null AS r ON l.b = r.b'),
+    ("left_join_b_key",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "mixed"), {"la": c("a"), "lb": c("b")}),
+         R.projection(mk(T, "mixed_null"), {"ra": c("a"), "rb": c("b")}),
+         on=["lb"], right_on=["rb"], how="left_outer"),
+     'SELECT l.a AS la, l.b AS lb, r.a AS ra FROM mixed AS l '
+     'LEFT JOIN mixed_null AS r ON l.b = r.b'),
+    ("self_join_scan",
+     lambda T: R.table_scan(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"lid": c("id"), "lb": c("b")}),
+             R.projection(mk(T, "mixed"), {"rid": c("id"), "rb": c("b")}),
+             on=["lid"], right_on=["rid"]),
+         c("lid") > L(50)),
+     "SELECT a.id AS lid, a.b AS lb, b.b AS rb FROM mixed "
+     "AS a JOIN mixed AS b ON a.id = b.id WHERE a.id > 50"),
+    ("join_expr_keys",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "mixed"), {"k1": c("id") * L(3),
+                                       "id1": c("id")}),
+         R.projection(mk(T, "mixed"), {"k2": c("id") - L(5),
+                                       "id2": c("id")}),
+         on=["k1"], right_on=["k2"]),
+     "SELECT m1.id * 3 AS k1, m1.id AS id1, m2.id AS "
+     "id2 FROM mixed AS m1 JOIN mixed AS m2 ON m1.id * 3 = m2.id - 5"),
+    ("theta_join_lt",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"), {"a1": c("a")}),
+         pa.table({"a2": pa.concat_tables(
+             [T["iii100"]]).column("a")}),
+         c("a1") < c("a2")),
+     "SELECT t1.a AS a1, t2.a AS a2 FROM id_int_int_int_100 AS t1 "
+     "JOIN id_int_int_int_100 AS t2 ON t1.a < t2.a"),
+    ("join_multi_pred",
+     lambda T: R.multi_predicate_join(
+         R.projection(mk(T, "mixed"), {"a1": c("a"), "b1": c("b"),
+                                       "c1": c("c")}),
+         R.projection(mk(T, "mixed_null"), {"a2": c("a"), "b2": c("b"),
+                                            "c2": c("c")}),
+         on=["b1"], right_on=["b2"],
+         residual=(c("a1") <= c("a2")) & (c("c1") > c("c2"))),
+     "SELECT t1.a AS a1, t1.b AS b1, t1.c AS c1, t2.a AS a2, "
+     "t2.c AS c2 FROM mixed AS t1 JOIN mixed_null AS t2 ON "
+     "t1.a <= t2.a AND t1.b = t2.b AND t1.c > t2.c"),
+    ("join_three_tables_scan",
+     lambda T: R.table_scan(
+         R.hash_join(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"), {"b1": c("b"),
+                                               "c1": c("c")}),
+                 R.projection(mk(T, "mixed_null"), {"a2": c("a"),
+                                                    "b2": c("b")}),
+                 on=["b1"], right_on=["b2"]),
+             R.projection(mk(T, "iii100"), {"a3": c("a")}),
+             on=["b1"], right_on=["a3"]),
+         (c("c1") > L(23.0)) & (c("a2") == L("c"))),
+     "SELECT t1.b AS b1, t1.c AS c1, t2.a AS a2 "
+     "FROM mixed AS t1 INNER JOIN mixed_null AS t2 ON t1.b = t2.b "
+     "INNER JOIN id_int_int_int_100 AS t3 ON t1.b = t3.a "
+     "WHERE t1.c > 23.0 AND t2.a = 'c'"),
+    # -- EXISTS / NOT EXISTS -----------------------------------------
+    ("exists_semi",
+     lambda T: R.exists_join(mk(T, "iii100"), mk(T, "int_date"),
+                             on=["id"], right_on=["a"]),
+     "SELECT * FROM id_int_int_int_100 WHERE EXISTS (SELECT * FROM "
+     "int_date WHERE id_int_int_int_100.id = int_date.a)"),
+    ("not_exists_anti",
+     lambda T: R.exists_join(mk(T, "iii100"), mk(T, "int_date"),
+                             on=["id"], right_on=["a"], negate=True),
+     "SELECT * FROM id_int_int_int_100 WHERE NOT EXISTS (SELECT * FROM "
+     "int_date WHERE id_int_int_int_100.id = int_date.a)"),
+    # -- scalar subqueries --------------------------------------------
+    ("scalar_subquery_max",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         c("a") < L(int(_scalar(R.aggregate(mk(T, "iii50"), [],
+                                            {"m": R.agg("max", "a")}),
+                                "m")))),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE a < "
+     "(SELECT MAX(s.a) FROM id_int_int_int_50 AS s)"),
+    ("scalar_subquery_in_select",
+     lambda T: R.projection(
+         mk(T, "iii100"),
+         {"a": c("a"), "foo": L(int(_scalar(
+             R.aggregate(mk(T, "mixed"), [], {"m": R.agg("max", "b")}),
+             "m")))}),
+     "SELECT a, (SELECT MAX(b) FROM mixed) AS foo "
+     "FROM id_int_int_int_100"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,builder,sql,ordered",
+    [(x[0], x[1], x[2], x[3] if len(x) > 3 else False) for x in CASES],
+    ids=[x[0] for x in CASES])
+def test_sqlite_conformance(ray_session, tabs, oracle, name, builder,
+                            sql, ordered):
+    out = builder(tabs)
+    ours = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert_same(ours, oracle, sql, ordered=ordered)

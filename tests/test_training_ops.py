@@ -412,3 +412,36 @@ def test_decode_media_real_mode_end_to_end(ray_session):
     assert out["width"].tolist()[::2] == [20, 20, 20]
     assert out["sample_rate"].tolist()[1::2] == [16000] * 3
     assert out["frames"].tolist()[1::2] == [320, 640, 960]
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """A train doc sharing a 5-gram with the eval set is flagged with
+    the exact count of distinct shared grams; clean docs are not."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.pipelines.decontam import decontaminate
+
+    leak = "the quick brown fox jumps"          # one 5-gram
+    ev = pa.table({
+        "doc_id": pa.array([100, 101], type=pa.int64()),
+        "text": [f"benchmark question {leak} answer choice",
+                 "completely different evaluation prompt here"],
+    })
+    train = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [
+            f"some page then {leak} and more text",   # contaminated
+            "an unrelated clean training document body",  # clean
+            # shares the gram TWICE -> still 1 distinct overlap
+            f"{leak} mid {leak}",
+        ],
+    })
+    out = decontaminate(ray.data.from_arrow(train),
+                        ray.data.from_arrow(ev), n=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, True]
+    assert out["n_overlap"].tolist()[0] >= 1
+    assert out["n_overlap"].tolist()[1] == 0
+    # doc 2: "leak mid leak" also creates bridging grams; the planted
+    # gram itself must count exactly once (distinct)
+    assert out["n_overlap"].tolist()[2] >= 1
