@@ -544,6 +544,32 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def line_dedup_docs(sf_dir: str):
+    """CCNet-style line-level boilerplate removal: lines occurring in
+    ≥3 distinct docs are dropped corpus-wide.  The synthetic documents
+    table has no newlines, so the "line" delimiter is the literal
+    ``" the "`` (DuckDB string_split and Arrow split_pattern share
+    non-overlapping left-to-right plain-substring semantics)."""
+    from hyrise_generalized_dedup_ray.pipelines.lines import line_dedup
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(docs, k=3, delimiter=" the ")
+
+
+def incremental_text_dedup(sf_dir: str):
+    """New-crawl-over-existing-corpus dedup: the incoming slice
+    (doc_id % 10 ≥ 8) is flagged is_new=False iff its exact text is
+    already in the existing slice.  Bloom-filter prefilter (tree-OR'd
+    per-block bitmaps, broadcast) routes only bloom-positive rows into
+    the exact semi/anti confirmation joins — the result is EXACT."""
+    from hyrise_generalized_dedup_ray.stages.bloom import incremental_dedup
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    is_inc = R.ge(R.mod(col("doc_id"), lit(10)), lit(8))
+    return incremental_dedup(table_scan(docs, R.not_(is_inc)),
+                             table_scan(docs, is_inc))
+
+
 def decontaminate_docs(sf_dir: str):
     """Train/test decontamination: training docs sharing any 5-word
     gram with the held-out eval slice (doc_id % 50 == 7) are flagged;
@@ -1306,6 +1332,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "line_dedup": line_dedup_docs,
+    "incremental_text_dedup": incremental_text_dedup,
     "exact_dedup": exact_dedup,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
@@ -2174,6 +2202,36 @@ SELECT d.doc_id,
        COALESCE(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hit h USING (doc_id)
 WHERE d.doc_id % 50 <> 7
+"""
+
+ORACLE_SQL["line_dedup"] = r"""
+WITH sp AS (
+  SELECT doc_id, string_split(text, ' the ') AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, i, ls[i] AS line
+  FROM sp, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+),
+j AS (
+  SELECT l.doc_id, l.i, l.line, f.nd < 3 AS keep
+  FROM lines l JOIN freq f ON l.line = f.line
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, ' the '
+                           ORDER BY i), '') AS text_clean
+FROM j GROUP BY doc_id
+"""
+
+ORACLE_SQL["incremental_text_dedup"] = r"""
+SELECT i.doc_id,
+       NOT EXISTS (SELECT 1 FROM documents e
+                   WHERE e.doc_id % 10 < 8 AND e.text = i.text) AS is_new
+FROM documents i WHERE i.doc_id % 10 >= 8
 """
 
 ORACLE_SQL["url_dedup"] = r"""

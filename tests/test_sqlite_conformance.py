@@ -456,6 +456,184 @@ CASES = [
              "m")))}),
      "SELECT a, (SELECT MAX(b) FROM mixed) AS foo "
      "FROM id_int_int_int_100"),
+    # -- IN (subquery) / NOT IN (subquery) ---------------------------
+    # sqlite_testrunner_queries.sql:383-391,425-434
+    ("in_subquery_uncorrelated",
+     lambda T: R.semi_join(mk(T, "iii100"),
+                           R.distinct(mk(T, "mixed"), ["b"]),
+                           on=["a"], right_on=["b"]),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (SELECT b FROM mixed)"),
+    ("in_subquery_expr_probe",
+     lambda T: R.semi_join(
+         R.projection(mk(T, "iii100"),
+                      {"id": c("id"), "a": c("a"), "b": c("b"),
+                       "cc": c("c"), "k": c("a") * L(10)}),
+         R.distinct(mk(T, "mixed"), ["b"]),
+         on=["k"], right_on=["b"]).select_columns(["id", "a", "b", "cc"]),
+     "SELECT id, a, b, c AS cc FROM id_int_int_int_100 "
+     "WHERE a * 10 IN (SELECT b FROM mixed)"),
+    ("not_in_subquery_expr_probe",
+     lambda T: R.anti_join(
+         R.projection(mk(T, "iii100"),
+                      {"id": c("id"), "a": c("a"), "b": c("b"),
+                       "cc": c("c"), "k": c("a") * L(10)}),
+         R.distinct(mk(T, "mixed"), ["b"]),
+         on=["k"], right_on=["b"]).select_columns(["id", "a", "b", "cc"]),
+     "SELECT id, a, b, c AS cc FROM id_int_int_int_100 "
+     "WHERE a * 10 NOT IN (SELECT b FROM mixed)"),
+    ("not_in_subquery_50",
+     lambda T: R.anti_join(mk(T, "iii100"),
+                           R.distinct(mk(T, "iii50"), ["a"]),
+                           on=["a"], right_on=["a"]),
+     "SELECT * FROM id_int_int_int_100 "
+     "WHERE a NOT IN (SELECT a FROM id_int_int_int_50)"),
+    ("in_subquery_correlated_two_keys",
+     lambda T: R.semi_join(mk(T, "iii100"),
+                           R.distinct(mk(T, "iii50"), ["a", "b"]),
+                           on=["a", "b"], right_on=["a", "b"]),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE a IN "
+     "(SELECT s.a FROM id_int_int_int_50 AS s WHERE s.b = r.b)"),
+    ("in_subquery_nested_chain",
+     lambda T: R.semi_join(
+         mk(T, "iii100"),
+         R.semi_join(R.distinct(mk(T, "iii50"), ["a"]),
+                     R.distinct(mk(T, "mixed"), ["b"]),
+                     on=["a"], right_on=["b"]),
+         on=["a"], right_on=["a"]),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (SELECT a FROM "
+     "id_int_int_int_50 WHERE a IN (SELECT b FROM mixed))"),
+    # -- CASE (sqlite_testrunner_queries.sql:414-418) ----------------
+    ("case_searched_two_arms",
+     lambda T: R.projection(mk(T, "mixed"), {"case_column": R.case(
+         (c("id") < L(50), L("Hello")), (c("id") < L(70), L("World")),
+         else_=L("Ciao"))}),
+     "SELECT CASE WHEN id < 50 THEN 'Hello' WHEN id < 70 THEN 'World' "
+     "ELSE 'Ciao' END AS case_column FROM mixed"),
+    ("case_float_arm",
+     lambda T: R.projection(mk(T, "mixed"), {"case_column": R.case(
+         (c("id") + L(3.4) < L(50), L("Hello")),
+         (c("id") < L(70), L("World")), else_=L("Ciao"))}),
+     "SELECT CASE WHEN id + 3.4 < 50 THEN 'Hello' WHEN id < 70 THEN "
+     "'World' ELSE 'Ciao' END AS case_column FROM mixed"),
+    ("case_simple_form_strings",
+     lambda T: R.projection(mk(T, "mixed"), {"case_column": R.case(
+         (c("id") + L(10) == L(15), c("a")),
+         (c("id") + L(10) == L(26), L("World")), else_=c("d"))}),
+     "SELECT CASE id + 10 WHEN 15 THEN a WHEN 26 THEN 'World' ELSE d "
+     "END AS case_column FROM mixed"),
+    ("case_is_null_group",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed_null"),
+                      {"a": c("a"), "flag": R.case(
+                          (R.is_null(c("a")), L(1)), else_=L(2))}),
+         ["a", "flag"], {"n": R.agg("count_star")}
+     ).select_columns(["a", "flag"]),
+     "SELECT a, CASE WHEN a IS NULL THEN 1 ELSE 2 END AS flag "
+     "FROM mixed_null GROUP BY a"),
+    # -- SUBSTR (sqlite_testrunner_queries.sql:436-444) --------------
+    ("substr_of_column",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"s": R.substr(c("d"), 2, 3)}),
+     "SELECT SUBSTR(d, 2, 3) AS s FROM mixed"),
+    ("substr_in_predicate",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.substr(c("d"), 1, 1) == L("j")),
+     "SELECT * FROM mixed WHERE SUBSTR(d, 1, 1) = 'j'"),
+    # -- set operations ----------------------------------------------
+    ("union_all_scans",
+     lambda T: R.union_all(
+         R.table_scan(mk(T, "iii100"), c("a") < L(5)),
+         R.table_scan(mk(T, "iii100"), c("b") > L(7))),
+     "SELECT * FROM id_int_int_int_100 WHERE a < 5 UNION ALL "
+     "SELECT * FROM id_int_int_int_100 WHERE b > 7"),
+    ("union_distinct_scans",
+     lambda T: R.distinct(R.union_all(
+         mk(T, "iii50").select_columns(["a"]),
+         mk(T, "iii100").select_columns(["a"]))),
+     "SELECT a FROM id_int_int_int_50 UNION "
+     "SELECT a FROM id_int_int_int_100"),
+    ("except_a",
+     lambda T: R.difference(
+         R.distinct(mk(T, "iii100").select_columns(["a"])),
+         R.distinct(mk(T, "iii50").select_columns(["a"]))),
+     "SELECT a FROM id_int_int_int_100 EXCEPT "
+     "SELECT a FROM id_int_int_int_50"),
+    ("intersect_a",
+     lambda T: R.intersect(
+         R.distinct(mk(T, "iii100").select_columns(["a"])),
+         R.distinct(mk(T, "iii50").select_columns(["a"]))),
+     "SELECT a FROM id_int_int_int_100 INTERSECT "
+     "SELECT a FROM id_int_int_int_50"),
+    # -- derived-table joins (sqlite_testrunner_queries.sql:97-102,162)
+    ("derived_table_join_or_preds",
+     lambda T: R.projection(R.hash_join(
+         R.distinct(R.projection(
+             R.table_scan(R.product(
+                 R.projection(mk(T, "iii100"),
+                              {"aa": c("a"), "ab": c("b")}),
+                 pa.concat_tables([T["mixed"]]).select(["b", "c"])),
+                 (c("aa") == c("b")) | (c("ab") == c("c"))),
+             {"ra": c("aa")})),
+         R.distinct(R.projection(
+             R.table_scan(R.product(
+                 R.projection(mk(T, "iii100"),
+                              {"aa": c("a"), "ab": c("b")}),
+                 pa.concat_tables([T["mixed"]]).select(["b", "c"])),
+                 (c("aa") == c("b")) | (c("ab") == c("c"))),
+             {"sb": c("ab")})),
+         on=["ra"], right_on=["sb"]),
+         {"ra": c("ra"), "sb": c("ra")}),
+     "SELECT DISTINCT r.ra, s.sb FROM "
+     "(SELECT DISTINCT a.a AS ra FROM id_int_int_int_100 AS a, mixed "
+     "AS b WHERE a.a = b.b OR a.b = b.c) r JOIN "
+     "(SELECT DISTINCT a.b AS sb FROM id_int_int_int_100 AS a, mixed "
+     "AS b WHERE a.a = b.b OR a.b = b.c) s ON r.ra = s.sb"),
+    ("derived_table_join_const_true",
+     lambda T: R.hash_join(
+         R.projection(R.table_scan(mk(T, "iii50"),
+                                   (c("a") < L(1)) | L(True)),
+                      {"la": c("a"), "lb": c("b")}),
+         R.projection(R.table_scan(mk(T, "iii50"),
+                                   (c("a") < L(10)) | L(True)),
+                      {"ra": c("a"), "rb": c("b")}),
+         on=["la"], right_on=["ra"]),
+     "SELECT l.a AS la, l.b AS lb, r.b AS rb FROM "
+     "(SELECT * FROM id_int_int_int_50 WHERE a < 1 OR 3 > 2) AS l "
+     "JOIN (SELECT * FROM id_int_int_int_50 WHERE a < 10 OR 30 > 20) "
+     "AS r ON l.a = r.a"),
+    ("natural_join_id_analog",
+     lambda T: R.hash_join(mk(T, "mixed"),
+                           mk(T, "iii100").select_columns(["id"]),
+                           on=["id"], right_on=["id"]),
+     "SELECT * FROM mixed NATURAL JOIN "
+     "(SELECT id FROM id_int_int_int_100) AS t2"),
+    # -- aggregates over joins ---------------------------------------
+    ("agg_over_join",
+     lambda T: R.aggregate(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"b1": c("b"), "c1": c("c")}),
+             R.projection(mk(T, "iii100"), {"a3": c("a"), "b3": c("b")}),
+             on=["b1"], right_on=["a3"]),
+         ["b3"], {"n": R.agg("count_star"), "sc": R.agg("sum", "c1")}),
+     "SELECT t2.b AS b3, COUNT(*) AS n, SUM(t1.c) AS sc FROM mixed t1 "
+     "JOIN id_int_int_int_100 t2 ON t1.b = t2.a GROUP BY t2.b"),
+    ("scalar_subquery_in_both",
+     lambda T: R.table_scan(
+         mk(T, "mixed"),
+         R.in_(c("id"), [14]) & (c("b") > L(15)) & (c("b") < L(98))),
+     "SELECT * FROM mixed WHERE id IN (SELECT 14) AND "
+     "b > (SELECT 15) AND b < (SELECT 98)"),
+    ("in_scalar_const_list",
+     lambda T: R.table_scan(
+         mk(T, "mixed"), R.in_(c("id"), [15]) & (c("b") > L(17))),
+     "SELECT * FROM mixed WHERE id IN (SELECT 14 + 1) AND "
+     "b > (SELECT 15 + 2)"),
+    ("uncorrelated_in_const_probe",
+     lambda T: (mk(T, "mixed_null").to_pandas()
+                if 50 in set(pa.concat_tables([T["mixed"]])
+                             .column("id").to_pylist())
+                else mk(T, "mixed_null").limit(0).to_pandas()),
+     "SELECT * FROM mixed_null WHERE 50 IN (SELECT id FROM mixed)"),
 ]
 
 

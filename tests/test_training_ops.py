@@ -445,3 +445,99 @@ def test_decontaminate_planted_overlap(ray_session):
     # doc 2: "leak mid leak" also creates bridging grams; the planted
     # gram itself must count exactly once (distinct)
     assert out["n_overlap"].tolist()[2] >= 1
+
+
+def test_line_dedup_planted_boilerplate(ray_session):
+    """Lines in >=k distinct docs vanish; unique lines survive with
+    order and delimiter preserved; counts are exact."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.pipelines.lines import line_dedup
+
+    banner = "accept all cookies"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [
+            f"{banner}\nunique zero\nfooter",
+            f"{banner}\nunique one\nfooter",
+            f"intro two\n{banner}\nfooter",
+            "totally unique document",
+        ],
+    })
+    out = line_dedup(ray.data.from_arrow(docs), k=3, delimiter="\n") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # banner + footer appear in 3 docs -> boilerplate; uniques survive
+    assert out["text_clean"].tolist() == [
+        "unique zero", "unique one", "intro two",
+        "totally unique document"]
+    assert out["n_lines"].tolist() == [3, 3, 3, 1]
+    assert out["n_removed"].tolist() == [2, 2, 2, 0]
+
+
+def test_line_dedup_all_removed_and_dup_within_doc(ray_session):
+    """A doc whose every line is boilerplate becomes ''; a line
+    repeated WITHIN one doc counts that doc once (distinct-doc
+    counting), and removal drops every occurrence."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.pipelines.lines import line_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        # "nav" repeats inside doc 0 but is only in 2 distinct docs ->
+        # kept at k=3; "foot" is in all 3 -> removed everywhere
+        "text": ["nav\nnav\nfoot", "nav\nbody\nfoot", "foot"],
+    })
+    out = line_dedup(ray.data.from_arrow(docs), k=3, delimiter="\n") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text_clean"].tolist() == ["nav\nnav", "nav\nbody", ""]
+    assert out["n_removed"].tolist() == [1, 1, 1]
+
+
+def test_bloom_filter_properties(ray_session):
+    """No false negatives ever; false-positive rate near the design
+    fpp on a disjoint probe set."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.stages.bloom import (
+        _test_bits, bloom_params, build_bloom)
+    from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
+
+    members = [f"member-{i}" for i in range(5000)]
+    others = [f"other-{i}" for i in range(5000)]
+    ds = ray.data.from_arrow(pa.table({"text": members})) \
+        .repartition(4)
+    ref, m_bits, k = build_bloom(ds, "text", n_items_hint=5000, fpp=0.01)
+    bitmap = ray.get(ref)
+    assert _test_bits(bitmap, hash_strings(np.array(members,
+                                                    dtype=object)),
+                      m_bits, k).all()
+    fp = _test_bits(bitmap, hash_strings(np.array(others, dtype=object)),
+                    m_bits, k).mean()
+    assert fp < 0.05   # designed 0.01 + slack
+    m2, k2 = bloom_params(5000, 0.01)
+    assert (m2, k2) == (m_bits, k)
+
+
+def test_incremental_dedup_exact(ray_session):
+    """Bloom prefilter + exact confirm equals a plain anti-join
+    ground truth, including bloom false positives being corrected."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.stages.bloom import incremental_dedup
+
+    existing = pa.table({
+        "doc_id": pa.array(range(100), type=pa.int64()),
+        "text": [f"seen text {i % 40}" for i in range(100)],
+    })
+    incoming = pa.table({
+        "doc_id": pa.array(range(1000, 1060), type=pa.int64()),
+        # 0..29 -> dup of existing (i%40 in 0..29), 30..59 -> new
+        "text": [f"seen text {i}" if i < 30 else f"fresh text {i}"
+                 for i in range(60)],
+    })
+    out = incremental_dedup(ray.data.from_arrow(existing),
+                            ray.data.from_arrow(incoming)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 60
+    assert out["is_new"].tolist() == [False] * 30 + [True] * 30
