@@ -124,8 +124,21 @@ def _warm_workers(num_cpus: int) -> None:
         # this sandbox faults fresh pages at ~5-20 MB/s, so an
         # unwarmed worker pays it inside the first timed stage instead
         batch_shingles(["wa rm up " * (_TOKENIZE_CHUNK_BYTES // 9 + 1)], 5)
+        # first-touch ~192 MB of worker arena: this sandbox's guest
+        # memory faults fresh pages pathologically slowly under
+        # co-tenant pressure (tools/memfault_probe.py: 16 MB numpy
+        # full+cumsum+copy = seconds first round, ~20 ms steady), and
+        # the signer/winnow path churns O(100 MB) of temporaries —
+        # unwarmed, every worker pays a multi-second first-batch tax
+        # INSIDE the timed stage, which reads as fixed overhead and
+        # flattens CPU-scaling curves.  A resident production worker
+        # pool is always warm; the bench should measure the pipeline.
+        from hyrise_generalized_dedup_ray.util import touch_arena
+        touch_arena()
         return {"x": np.asarray(b["id"])}
 
+    from hyrise_generalized_dedup_ray.util import touch_arena
+    touch_arena()  # driver-side arena (branch threads, finishers)
     (ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4)
      .map_batches(warm, num_cpus=0.9)
      .materialize())

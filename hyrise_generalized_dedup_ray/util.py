@@ -48,3 +48,45 @@ def spread_blocks(ds: Dataset, per_cpu: int = 4, floor: int = 8) -> Dataset:
 # groupby blocks breaking Dataset.join) was removed: every join now runs
 # on stages/exchange.exchange_join, whose map-split skips degenerate
 # blocks natively.
+
+
+def prewarm_cluster(num_tasks: int, mb: int = 192, rounds: int = 3) -> None:
+    """Pre-fault worker memory arenas before timing a pipeline.
+
+    This sandbox's guest memory exhibits pathological FIRST-TOUCH
+    latency (reproduce with ``python tools/memfault_probe.py``): a
+    16 MB numpy full+cumsum+copy measures seconds on its first round
+    in a fresh process and ~20 ms at steady state — three orders of
+    magnitude — because host-side page population is slow under
+    co-tenant memory pressure.  Each fresh Ray worker therefore pays
+    a one-time multi-second tax on its first real batch, which reads
+    as a fixed per-run overhead that flattens CPU-scaling curves.
+
+    The fix is the same thing a production cluster gets for free from
+    long-lived resident workers: touch the arena once, up front.  One
+    task per CPU slot allocates/touches ``mb`` MB in a few rounds; with
+    ``MALLOC_MMAP_THRESHOLD_``/``MALLOC_TRIM_THRESHOLD_`` raised (see
+    bench.py) the freed pages stay in the worker's arena, so the timed
+    pipeline reuses already-resident memory.  Driver arena included.
+    """
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _touch(mb_: int, rounds_: int) -> int:
+        touch_arena(mb_, rounds_)
+        return 0
+
+    touch_arena(mb, rounds)
+    ray.get([_touch.remote(mb, rounds) for _ in range(num_tasks)])
+
+
+def touch_arena(mb: int = 192, rounds: int = 3) -> None:
+    """Touch ``mb`` MB of fresh heap in this process a few times so the
+    pages are faulted in and (with raised MALLOC_TRIM/MMAP thresholds)
+    retained in the allocator arena for the real workload to reuse."""
+    import numpy as np
+
+    for _ in range(rounds):
+        a = np.full(mb * 125_000, 7, dtype=np.uint64)
+        np.cumsum(a)
+        del a
