@@ -544,6 +544,17 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup: k-means-cluster the embedding space, near-dup removal
+    within clusters only (O(n²/k)).  No SQL oracle (iterative k-means);
+    gated by exact distributed-vs-sequential parity in pytest
+    (test_training_ops.test_semantic_dedup_matches_sequential)."""
+    from hyrise_generalized_dedup_ray.stages.embed_dedup import semantic_dedup
+
+    emb = load_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, tau=0.92, n_clusters=16, train_sample=512)
+
+
 def line_dedup_docs(sf_dir: str):
     """CCNet-style line-level boilerplate removal: lines occurring in
     ≥3 distinct docs are dropped corpus-wide.  The synthetic documents
@@ -1332,6 +1343,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "semantic_dedup": semantic_dedup_embeddings,
     "line_dedup": line_dedup_docs,
     "incremental_text_dedup": incremental_text_dedup,
     "exact_dedup": exact_dedup,

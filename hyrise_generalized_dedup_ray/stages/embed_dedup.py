@@ -167,3 +167,95 @@ def embedding_near_dup_pairs_lsh(
     out = ray.data.from_arrow_refs(round_refs)
     from hyrise_generalized_dedup_ray.stages.lsh import dedupe_pairs
     return dedupe_pairs(out)
+
+
+# ------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means cluster partitioning
+# ------------------------------------------------------------------
+
+def _semdedup_kernel(shard: pa.Table, tau: float, id_col: str,
+                     col: str, block: int = 2048) -> pa.Table:
+    """Per-shard SemDeDup: shard rows carry a ``cluster`` column; for
+    each cluster (sorted by id), drop every vector with cosine ≥ tau
+    to ANY lower-id member.  O(C²) flops per cluster, memory bounded
+    by ``block`` columns at a time."""
+    if shard.num_rows == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "cluster": pa.array([], type=pa.int64()),
+                         "is_kept": pa.array([], type=pa.bool_())})
+    ids, mat = _embedding_matrix(shard, col)
+    cl = shard.column("cluster").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, cl))
+    ids, cl, mat = ids[order], cl[order], _normalize(mat[order])
+    kept = np.ones(len(ids), dtype=bool)
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    bounds = np.r_[starts, len(cl)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        x = mat[s:e]
+        n = e - s
+        for j0 in range(1, n, block):
+            j1 = min(n, j0 + block)
+            # sims of all strictly-lower rows vs columns j0:j1
+            sims = x[:j1 - 1] @ x[j0:j1].T
+            jj = np.arange(j0, j1)
+            tri = np.arange(j1 - 1)[:, None] < jj[None, :]
+            kept[s + j0:s + j1] &= ~((sims >= tau) & tri).any(axis=0)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "cluster": pa.array(cl.astype(np.int64), type=pa.int64()),
+        "is_kept": pa.array(kept),
+    })
+
+
+def semantic_dedup(
+    embeddings: Dataset,
+    tau: float = 0.92,
+    n_clusters: int = 64,
+    train_sample: int = 4096,
+    iters: int = 8,
+    seed: int = 0x5EED,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then deduplicate WITHIN each cluster — cosine
+    pairs across clusters are never computed, so the all-pairs O(n²)
+    collapses to O(n²/k) inside buckets that fit a worker.
+
+    Deterministic keep rule (vectorized variant of the paper's
+    keep-one-per-group): a vector is dropped iff some LOWER-ID member
+    of its cluster is ≥ tau cosine-similar.  Scale shape: centroids
+    trained in a task from a bounded sample (ann._train_centroids),
+    assignment is one stateless map, then ONE exchange on cluster id;
+    the per-cluster kernel blocks its similarity matrix so memory is
+    O(C·block).  Returns (id, cluster, is_kept)."""
+    from hyrise_generalized_dedup_ray.stages.ann import (
+        _ivf_assign,
+        _train_centroids,
+    )
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange
+
+    sample = embeddings.limit(train_sample).select_columns([id_col, col])
+    cent_ref = _train_centroids.remote(
+        sample.to_arrow_refs(), col, n_clusters, iters, seed)
+
+    assigned = embeddings.select_columns([id_col, col]).map_batches(
+        functools.partial(_ivf_assign, cent_ref=cent_ref, col=col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.rename_columns(
+            [{"bucket": "cluster"}.get(n, n) for n in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    schema = pa.schema([(id_col, pa.int64()),
+                        (col, pa.list_(pa.float32())),
+                        ("cluster", pa.int64())])
+    return hash_exchange(
+        assigned,
+        map_fn=lambda t: t,
+        key_col="cluster",
+        kernel=functools.partial(_semdedup_kernel, tau=tau,
+                                 id_col=id_col, col=col),
+        num_shards=min(n_clusters, 64),
+        schema=schema,
+    )

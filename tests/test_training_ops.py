@@ -541,3 +541,53 @@ def test_incremental_dedup_exact(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(out) == 60
     assert out["is_new"].tolist() == [False] * 30 + [True] * 30
+
+
+def test_semantic_dedup_matches_sequential(ray_session):
+    """Distributed SemDeDup (train-in-task centroids, one cluster-id
+    exchange, blocked per-cluster kernel) reproduces a sequential
+    brute-force of the same rule exactly."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.stages.ann import (
+        _embedding_matrix, _normalize, _train_centroids)
+    from hyrise_generalized_dedup_ray.stages.embed_dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim, n_fill = 8, 80
+    groups = [rng.normal(size=dim) for _ in range(3)]
+    vecs, expect_dup = [], []
+    for g in groups:                      # 4 near-copies per group
+        for _ in range(4):
+            vecs.append(g + rng.normal(scale=1e-3, size=dim))
+    vecs += [rng.normal(size=dim) for _ in range(n_fill)]
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([list(np.asarray(v, dtype=np.float32))
+                               for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    tau, k, iters, seed = 0.95, 4, 8, 0x5EED
+    out = semantic_dedup(ray.data.from_arrow(t), tau=tau, n_clusters=k,
+                         train_sample=len(vecs), iters=iters, seed=seed) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(vecs)
+
+    # sequential oracle: same deterministic centroids, brute force rule
+    cent = ray.get(_train_centroids.remote(
+        [ray.put(t)], "embedding", k, iters, seed))
+    ids, mat = _embedding_matrix(t, "embedding")
+    x = _normalize(mat)
+    cl = np.argmax(x @ cent.T, axis=1)
+    kept_seq = {}
+    for c in np.unique(cl):
+        member = np.flatnonzero(cl == c)
+        member = member[np.argsort(ids[member])]
+        for pos, j in enumerate(member):
+            lower = member[:pos]
+            dup = len(lower) and (x[lower] @ x[j] >= tau).any()
+            kept_seq[int(ids[j])] = not dup
+    assert out.set_index("vec_id")["is_kept"].to_dict() == kept_seq
+    # sanity: the planted near-copy groups actually lost members
+    n_dropped = int((~out["is_kept"]).sum())
+    assert n_dropped >= 6
