@@ -544,6 +544,30 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def normalize_text(sf_dir: str):
+    """Unicode-lite text canonicalization ahead of hashing/dedup:
+    lowercase, collapse whitespace runs, trim — the normalization every
+    exact-dedup pass should share so trivially-different bytes hash
+    identically.  Arrow RE2 kernels; the SQL twin runs the same RE2
+    regexes in DuckDB."""
+    import pyarrow.compute as pc
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column("text"))
+        t = pc.replace_substring_regex(t, r"[\t\n\r\f\v ]+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_norm": t,
+            "n_chars_norm": pc.utf8_length(t),
+        })
+
+    return docs.map_batches(norm, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def semantic_dedup_embeddings(sf_dir: str):
     """SemDeDup: k-means-cluster the embedding space, near-dup removal
     within clusters only (O(n²/k)).  No SQL oracle (iterative k-means);
@@ -1343,6 +1367,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "normalize_text": normalize_text,
     "semantic_dedup": semantic_dedup_embeddings,
     "line_dedup": line_dedup_docs,
     "incremental_text_dedup": incremental_text_dedup,
@@ -2214,6 +2239,15 @@ SELECT d.doc_id,
        COALESCE(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hit h USING (doc_id)
 WHERE d.doc_id % 50 <> 7
+"""
+
+ORACLE_SQL["normalize_text"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[\t\n\r\f\v ]+', ' ', 'g'))
+           AS text_norm,
+       length(trim(regexp_replace(lower(text), '[\t\n\r\f\v ]+', ' ',
+                                  'g'))) AS n_chars_norm
+FROM documents
 """
 
 ORACLE_SQL["line_dedup"] = r"""
