@@ -261,8 +261,13 @@ def main() -> None:
             profile = {int(k): float(v) for k, v in
                        (kv.split(":") for kv in profile_env.split(","))}
         else:
-            base = {2: 101.6, 8: 27.4}
-            profile = {c: base.get(c, 101.6 * 2 / c) * (ndocs / 240000)
+            # current-code clean-host mins, measured 2026-08-19 over 10
+            # interleaved steal-gated pairs with arena warmup
+            # (BENCH_scaling artifacts); round-2's {2:101.6, 8:27.4}
+            # predates the exchange-join/warmup work and a different
+            # host window
+            base = {2: 112.0, 8: 34.0}
+            profile = {c: base.get(c, 112.0 * 2 / c) * (ndocs / 240000)
                        for c in (lo, hi)}
 
         def run_trial(cpus: int) -> dict:
