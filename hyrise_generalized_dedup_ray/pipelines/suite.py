@@ -544,6 +544,21 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def group_quantiles(sf_dir: str):
+    """Per-language exact doc-length quantiles (p25/p50/p90/p99) —
+    the AggregateSort-class ordered-set aggregate: one key exchange,
+    per-group sorted interpolation (linear, = SQL quantile_cont)."""
+    from hyrise_generalized_dedup_ray.relational import aggregate_quantiles
+
+    docs = load_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    q = aggregate_quantiles(docs, ["lang"], "n_chars",
+                            [0.25, 0.5, 0.9, 0.99], num_partitions=4)
+    return projection(q, {
+        "lang": "lang",
+        "q25_e3": _e_int("q25", 1e3), "q50_e3": _e_int("q50", 1e3),
+        "q90_e3": _e_int("q90", 1e3), "q99_e3": _e_int("q99", 1e3)})
+
+
 def normalize_text(sf_dir: str):
     """Unicode-lite text canonicalization ahead of hashing/dedup:
     lowercase, collapse whitespace runs, trim — the normalization every
@@ -1367,6 +1382,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "group_quantiles": group_quantiles,
     "normalize_text": normalize_text,
     "semantic_dedup": semantic_dedup_embeddings,
     "line_dedup": line_dedup_docs,
@@ -2239,6 +2255,15 @@ SELECT d.doc_id,
        COALESCE(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hit h USING (doc_id)
 WHERE d.doc_id % 50 <> 7
+"""
+
+ORACLE_SQL["group_quantiles"] = r"""
+SELECT lang,
+       CAST(ROUND(quantile_cont(n_chars, 0.25) * 1000) AS BIGINT) AS q25_e3,
+       CAST(ROUND(quantile_cont(n_chars, 0.5)  * 1000) AS BIGINT) AS q50_e3,
+       CAST(ROUND(quantile_cont(n_chars, 0.9)  * 1000) AS BIGINT) AS q90_e3,
+       CAST(ROUND(quantile_cont(n_chars, 0.99) * 1000) AS BIGINT) AS q99_e3
+FROM documents GROUP BY lang
 """
 
 ORACLE_SQL["normalize_text"] = r"""

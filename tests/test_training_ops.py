@@ -591,3 +591,34 @@ def test_semantic_dedup_matches_sequential(ray_session):
     # sanity: the planted near-copy groups actually lost members
     n_dropped = int((~out["is_kept"]).sum())
     assert n_dropped >= 6
+
+
+def test_aggregate_quantiles_nulls_and_two_keys(ray_session):
+    """Exact per-group quantiles vs DuckDB quantile_cont, including a
+    NULL group key and a two-column key."""
+    import duckdb
+    import ray
+
+    from hyrise_generalized_dedup_ray.relational import aggregate_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = pa.table({
+        "g": pa.array([None if i % 17 == 0 else f"g{i % 5}"
+                       for i in range(n)]),
+        "h": pa.array([i % 2 for i in range(n)], type=pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+    })
+    out = aggregate_quantiles(ray.data.from_arrow(t), ["g", "h"], "v",
+                              [0.5, 0.9], num_partitions=3).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT g, h, quantile_cont(v, 0.5) AS q50, "
+        "quantile_cont(v, 0.9) AS q90 FROM t GROUP BY g, h").fetchdf()
+    a = out.sort_values(["g", "h"], na_position="first") \
+        .reset_index(drop=True)
+    b = exp.sort_values(["g", "h"], na_position="first") \
+        .reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["g"].isna() == b["g"].isna()).all()
+    np.testing.assert_allclose(a["q50"], b["q50"])
+    np.testing.assert_allclose(a["q90"], b["q90"])
