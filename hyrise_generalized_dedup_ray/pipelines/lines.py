@@ -82,6 +82,8 @@ def line_dedup(
     occurs in ≥ k distinct documents, preserving the order (and the
     delimiter) of the surviving lines."""
 
+    kk = int(k)
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         _, offsets, h = _split_lines(batch.column(text_col), delimiter)
@@ -89,6 +91,18 @@ def line_dedup(
         # per-batch dedup of (line_hash, doc) shrinks the shuffle to
         # one pair per line per doc per batch
         pairs = np.unique(np.stack([h, doc.astype(_U64)], axis=1), axis=0)
+        # hot-line cap: a doc lives in exactly ONE batch, so distinct
+        # docs per line = Σ per-batch distinct; capping each batch's
+        # contribution at k keeps the "≥ k distinct docs" decision
+        # EXACT (true ≥ k ⇒ Σ min(cᵢ, k) ≥ k; true < k ⇒ Σ min ≤ true)
+        # while bounding a universal line (nav bars at 10¹² docs) to k
+        # rows per batch instead of one per doc.
+        if len(pairs):
+            change = pairs[1:, 0] != pairs[:-1, 0]
+            starts = np.flatnonzero(np.r_[True, change])
+            run_of = np.cumsum(np.r_[0, change.astype(np.int64)])
+            pos_in_run = np.arange(len(pairs)) - starts[run_of]
+            pairs = pairs[pos_in_run < kk]
         return pa.table({
             "line_hash": pa.array(pairs[:, 0], type=pa.uint64()),
             id_col: pa.array(pairs[:, 1].astype(np.int64)),
@@ -98,8 +112,6 @@ def line_dedup(
         explode, batch_format="pyarrow", zero_copy_batch=True)
     counts = aggregate(exploded, ["line_hash"],
                        {"ndocs": agg("count_distinct", id_col)})
-    kk = int(k)
-
     def frequent(batch: pa.Table) -> pa.Table:
         mask = pc.greater_equal(batch.column("ndocs"), pa.scalar(kk))
         return batch.filter(mask).select(["line_hash"])
