@@ -544,6 +544,94 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def vocab_top_terms(sf_dir: str):
+    """Corpus vocabulary table — the canonical wordcount at scale:
+    per-batch (token, doc) unique+counts, then ONE string-keyed
+    shuffle computing total occurrences AND exact document frequency
+    (the fused sum+count_distinct kernel), then a deterministic
+    top-100 (ties broken by token)."""
+    from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
+    from hyrise_generalized_dedup_ray.relational import limit as limit_, sort
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text").combine_chunks()
+                          if isinstance(batch.column("text"),
+                                        pa.ChunkedArray)
+                          else batch.column("text")), r"\s+")
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(off))
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        words, doc = words[keep], doc[keep]
+        h = hash_strings(words)
+        u, idx, cnt = np.unique(
+            np.stack([h, doc.astype(np.uint64)], axis=1), axis=0,
+            return_index=True, return_counts=True)
+        return pa.table({
+            "token": pa.array(words[idx], type=pa.string()),
+            "doc_id": pa.array(u[:, 1].astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    ex = docs.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ag = aggregate(ex, ["token"], {
+        "n_occ": agg("sum", "cnt"),
+        "df": ("count_distinct", "doc_id"),
+    }, num_partitions=8)
+    return limit_(sort(ag, ["n_occ"], descending=True, tiebreak="token"),
+                  100)
+
+
+def exact_dedup_best(sf_dir: str):
+    """Exact dedup with a QUALITY keep-rule (keep the longest copy,
+    ties to min id) instead of min-id — the representative-selection
+    policy a curation pipeline actually wants.  Composition: one
+    window exchange partitioned on the 64-bit text hash, row_number
+    ordered by (-n_chars, doc_id), keep rn=1.  Partitioning by hash
+    instead of the text value is exact up to u64 collisions
+    (P ≈ n²/2⁶⁵)."""
+    import pyarrow.compute as pc
+
+    from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
+    from hyrise_generalized_dedup_ray.relational.window import window_over
+
+    docs = load_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        th = hash_strings(texts.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "neg_len": pc.negate(batch.column("n_chars")),
+            "text_hash": pa.array(th.view(np.int64), type=pa.int64()),
+        })
+
+    p = docs.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    w = window_over(p, "text_hash", ["neg_len", "doc_id"],
+                    {"rn": ("row_number", None)}, num_partitions=8)
+
+    def first(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(batch.column("rn"), pa.scalar(1))
+        return batch.filter(m).select(["doc_id", "n_chars"])             .rename_columns(["rep_id", "n_chars"])
+
+    return w.map_batches(first, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def group_quantiles(sf_dir: str):
     """Per-language exact doc-length quantiles (p25/p50/p90/p99) —
     the AggregateSort-class ordered-set aggregate: one key exchange,
@@ -1382,6 +1470,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "vocab_top_terms": vocab_top_terms,
+    "exact_dedup_best": exact_dedup_best,
     "group_quantiles": group_quantiles,
     "normalize_text": normalize_text,
     "semantic_dedup": semantic_dedup_embeddings,
@@ -2255,6 +2345,25 @@ SELECT d.doc_id,
        COALESCE(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hit h USING (doc_id)
 WHERE d.doc_id % 50 <> 7
+"""
+
+ORACLE_SQL["vocab_top_terms"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+)
+SELECT w AS token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df
+FROM tok WHERE w <> ''
+GROUP BY w ORDER BY n_occ DESC, token LIMIT 100
+"""
+
+ORACLE_SQL["exact_dedup_best"] = r"""
+SELECT doc_id AS rep_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
 """
 
 ORACLE_SQL["group_quantiles"] = r"""
