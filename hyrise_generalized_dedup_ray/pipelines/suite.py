@@ -544,6 +544,39 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def curation_pipeline(sf_dir: str):
+    """End-to-end curation composite — the stages a training-data run
+    chains, each individually oracle-checked, here verified AS A CHAIN
+    against one SQL twin: normalize (lower/collapse/trim) → quality
+    gate (≥5 tokens) → corpus-wide line dedup (k=3, " the " delimiter
+    on this table) → exact dedup of the cleaned text (min-id rep +
+    copy count)."""
+    import pyarrow.compute as pc
+
+    from hyrise_generalized_dedup_ray.pipelines.lines import line_dedup
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column("text"))
+        t = pc.replace_substring_regex(t, r"[\t\n\r\f\v ]+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        ntok = pc.list_value_length(pc.split_pattern(t, " "))
+        keep = pc.and_(pc.greater_equal(ntok, pa.scalar(5)),
+                       pc.greater(pc.utf8_length(t), pa.scalar(0)))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text_norm": t}).filter(keep)
+
+    gated = docs.map_batches(normalize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cleaned = line_dedup(gated, k=3, delimiter=" the ",
+                         text_col="text_norm")
+    return aggregate(cleaned, ["text_clean"], {
+        "rep_id": agg("min", "doc_id"),
+        "n_copies": agg("count_star"),
+    }, num_partitions=8)
+
+
 def vocab_top_terms(sf_dir: str):
     """Corpus vocabulary table — the canonical wordcount at scale:
     per-batch (token, doc) unique+counts, then ONE string-keyed
@@ -1470,6 +1503,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "curation_pipeline": curation_pipeline,
     "vocab_top_terms": vocab_top_terms,
     "exact_dedup_best": exact_dedup_best,
     "group_quantiles": group_quantiles,
@@ -2345,6 +2379,39 @@ SELECT d.doc_id,
        COALESCE(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hit h USING (doc_id)
 WHERE d.doc_id % 50 <> 7
+"""
+
+ORACLE_SQL["curation_pipeline"] = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[\t\n\r\f\v ]+', ' ', 'g'))
+             AS tn
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, tn FROM norm
+  WHERE len(string_split(tn, ' ')) >= 5 AND length(tn) > 0
+),
+sp AS (SELECT doc_id, string_split(tn, ' the ') AS ls FROM gated),
+lines AS (
+  SELECT doc_id, i, ls[i] AS line
+  FROM sp, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+),
+j AS (
+  SELECT l.doc_id, l.i, l.line, f.nd < 3 AS keep
+  FROM lines l JOIN freq f ON l.line = f.line
+),
+cleaned AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN keep THEN line END, ' the '
+                             ORDER BY i), '') AS text_clean
+  FROM j GROUP BY doc_id
+)
+SELECT text_clean, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+FROM cleaned GROUP BY text_clean
 """
 
 ORACLE_SQL["vocab_top_terms"] = r"""

@@ -622,3 +622,30 @@ def test_aggregate_quantiles_nulls_and_two_keys(ray_session):
     assert (a["g"].isna() == b["g"].isna()).all()
     np.testing.assert_allclose(a["q50"], b["q50"])
     np.testing.assert_allclose(a["q90"], b["q90"])
+
+
+def test_line_dedup_universal_line_across_blocks(ray_session):
+    """A line present in EVERY doc across many blocks is removed even
+    though the per-batch hot-line cap ships only k pairs per batch;
+    a line with k-1 distinct docs split across blocks survives the cap
+    logic correctly when it reaches k corpus-wide."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.pipelines.lines import line_dedup
+
+    n = 60
+    texts = []
+    for i in range(n):
+        # "nav" universal; "pair" in docs 10,20,30 (crosses blocks)
+        extra = "\npair line" if i in (10, 20, 30) else ""
+        texts.append(f"nav bar{extra}\nunique {i}")
+    docs = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": texts,
+    })
+    out = line_dedup(ray.data.from_arrow(docs).repartition(8),
+                     k=3, delimiter="\n") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out["text_clean"] == [f"unique {i}" for i in range(n)]).all()
+    exp_removed = [2 if i in (10, 20, 30) else 1 for i in range(n)]
+    assert out["n_removed"].tolist() == exp_removed
