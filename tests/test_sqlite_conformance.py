@@ -634,6 +634,123 @@ CASES = [
                              .column("id").to_pylist())
                 else mk(T, "mixed_null").limit(0).to_pandas()),
      "SELECT * FROM mixed_null WHERE 50 IN (SELECT id FROM mixed)"),
+    # -- LIKE family (sqlite_testrunner_queries.sql:445-453) ---------
+    ("like_pct_a_pct_b",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "%a%b%")),
+     "SELECT * FROM mixed WHERE d LIKE '%a%b%'"),
+    ("not_like_const",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.not_(R.like(c("d"), "ldggoca"))),
+     "SELECT * FROM mixed WHERE d NOT LIKE 'ldggoca'"),
+    ("like_underscores",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "%y__%g_%")),
+     "SELECT * FROM mixed WHERE d LIKE '%y__%g_%'"),
+    ("like_or_scan",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.like(c("d"), "%y__%g_%") |
+                            ((c("id") > L(50)) & R.like(c("a"), "%a%"))),
+     "SELECT * FROM mixed WHERE d LIKE '%y__%g_%' OR "
+     "(id > 50 AND a LIKE '%a%')"),
+    ("case_of_likes",
+     lambda T: R.projection(mk(T, "mixed"), {"c": R.case(
+         (R.like(c("d"), "%ab%"), L("contains AB")),
+         (R.not_(R.like(c("d"), "%x%")), L("doesnt contain x")),
+         else_=c("a"))}),
+     "SELECT CASE WHEN d LIKE '%ab%' THEN 'contains AB' WHEN d NOT "
+     "LIKE '%x%' THEN 'doesnt contain x' ELSE a END AS c FROM mixed"),
+    ("like_prefix",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "a%")),
+     "SELECT * FROM mixed WHERE d LIKE 'a%'"),
+    ("not_like_prefix",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.not_(R.like(c("d"), "a%"))),
+     "SELECT * FROM mixed WHERE d NOT LIKE 'a%'"),
+    ("like_match_all",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "%")),
+     "SELECT * FROM mixed WHERE d LIKE '%'"),
+    # -- HAVING (sqlite_testrunner_queries.sql:306-314) --------------
+    ("having_two_max_bounds",
+     lambda T: R.table_scan(
+         R.aggregate(mk(T, "mixed"), ["a", "b"],
+                     {"mb": R.agg("max", "b"), "ac": R.agg("avg", "c")}),
+         (c("mb") >= L(10)) & (c("mb") < L(40))),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY "
+     "a, b HAVING MAX(b) >= 10 AND MAX(b) < 40"),
+    ("having_expr_aggregate",
+     lambda T: R.table_scan(
+         R.aggregate(
+             R.projection(mk(T, "mixed"),
+                          {"a": c("a"), "b": c("b"), "cc": c("c"),
+                           "e": c("b") * L(0.8) + c("c") * L(0.01)}),
+             ["a", "b"],
+             {"mb": R.agg("max", "b"), "ac": R.agg("avg", "cc"),
+              "me": R.agg("max", "e")}),
+         (c("mb") >= L(10)) & (c("me") < L(40))) \
+         .select_columns(["a", "b", "mb", "ac"]),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY "
+     "a, b HAVING MAX(b) >= 10 AND MAX(b*0.8+c*0.01) < 40"),
+    ("having_group_key_or",
+     lambda T: R.table_scan(
+         R.aggregate(mk(T, "mixed"), ["a", "b"],
+                     {"mb": R.agg("max", "b"), "ac": R.agg("avg", "c")}),
+         (c("b") > L(33)) | (c("b") == L(1)) | (c("b") == L(17))),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY "
+     "a, b HAVING b > 33 OR b = 1 OR b = 17"),
+    ("having_unselected_max",
+     lambda T: R.table_scan(
+         R.aggregate(mk(T, "mixed"), ["a", "b"],
+                     {"ab": R.agg("avg", "b"), "mc": R.agg("max", "c")}),
+         (c("mc") > L(10)) & (c("mc") <= L(30))) \
+         .select_columns(["a", "b", "ab"]),
+     "SELECT a, b, AVG(b) AS ab FROM mixed GROUP BY a, b HAVING "
+     "MAX(c) > 10 AND MAX(c) <= 30"),
+    ("group_by_null_key_max",
+     lambda T: R.aggregate(mk(T, "mixed_null"), ["a"],
+                           {"mb": R.agg("max", "b")}),
+     "SELECT a, MAX(b) AS mb FROM mixed_null GROUP BY a"),
+    ("group_order_count_desc",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a"],
+                           {"n": R.agg("count_star")}),
+     "SELECT a, COUNT(*) AS n FROM mixed GROUP BY a"),
+    # -- ORDER BY total-order checks (ordered=True) ------------------
+    ("order_by_b_adesc_c_total",
+     lambda T: R.sort(mk(T, "mixed"), ["b", "a", "c"],
+                      descending=[False, True, False], tiebreak="id"),
+     "SELECT * FROM mixed ORDER BY b, a DESC, c, id", True),
+    ("order_by_subquery_chain",
+     lambda T: R.sort(
+         R.table_scan(
+             R.table_scan(mk(T, "mixed"), c("a") == L("a"))
+             .select_columns(["a", "b"]), c("b") > L(10)),
+         ["b"], tiebreak="a"),
+     "SELECT sub.a, sub.b FROM (SELECT a, b FROM mixed WHERE a = 'a' "
+     "ORDER BY b) AS sub WHERE sub.b > 10 ORDER BY b", True),
+    # -- EXISTS variants (sqlite_testrunner_queries.sql:455-470) -----
+    ("exists_const_subquery",
+     lambda T: mk(T, "mixed_null"),
+     "SELECT * FROM mixed_null WHERE EXISTS(SELECT 1)"),
+    ("correlated_exists_expr_key",
+     lambda T: R.semi_join(
+         R.projection(mk(T, "mixed"),
+                      {"id": c("id"), "a": c("a"), "b": c("b"),
+                       "cc": c("c"), "d": c("d"), "k": c("id") * L(10)}),
+         R.distinct(mk(T, "mixed"), ["id"]),
+         on=["k"], right_on=["id"]) \
+         .select_columns(["id", "a", "b", "cc", "d"]),
+     "SELECT id, a, b, c AS cc, d FROM mixed AS o WHERE EXISTS("
+     "SELECT * FROM mixed AS i WHERE i.id = o.id * 10)"),
+    ("correlated_exists_ineq_min",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         c("b") > L(int(_scalar(R.aggregate(mk(T, "iii50"), [],
+                                            {"m": R.agg("min", "b")}),
+                                "m")))),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE EXISTS "
+     "(SELECT s.a FROM id_int_int_int_50 AS s WHERE s.b < r.b)"),
+    ("scalar_exists_nonempty",
+     lambda T: pd.DataFrame({"some_exists":
+                             [bool(len(T["iii100"]))]}),
+     "SELECT EXISTS(SELECT * FROM id_int_int_int_100) AS some_exists"),
 ]
 
 
