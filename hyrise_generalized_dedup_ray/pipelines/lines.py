@@ -24,11 +24,13 @@ Line identity uses a 64-bit SipHash of the line bytes; a collision
 merges two lines' doc counts (P ≈ n²/2⁶⁵ — negligible below ~10¹²
 distinct lines, and only ever over-removes).
 
-Reference analog: the generalized-dedup encoder's shared-chunk
-elimination — recurring byte runs are replaced by references to one
-copy (see the base/deviation split in the reference's segment
-encoder); here the recurring unit is a text line and the "reference"
-is removal from every copy.
+Reference analog: the generalized-dedup lookup-table idea — recurring
+values are collapsed to one dictionary entry
+(dictionary_encoder.hpp:32,61-66: sort+unique into a dictionary,
+rows re-expressed as ids) and recurring byte runs dedup against a
+segment-trained dictionary (lz4_encoder.hpp:40-59); here the
+recurring unit is a text LINE, the "dictionary" is the broadcast
+boilerplate set, and the re-expression is removal from every copy.
 """
 
 from __future__ import annotations
