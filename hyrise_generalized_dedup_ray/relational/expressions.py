@@ -99,7 +99,24 @@ def lit(value: Any) -> Expr:
 def add(a, b): return _Kernel(pc.add_checked, _wrap(a), _wrap(b))
 def sub(a, b): return _Kernel(pc.subtract_checked, _wrap(a), _wrap(b))
 def mul(a, b): return _Kernel(pc.multiply_checked, _wrap(a), _wrap(b))
-def div(a, b): return _Kernel(pc.divide, _wrap(a), _wrap(b))
+def _null_zero_divisor(y):
+    """SQL(ite)/reference semantics: x / 0 and x % 0 are NULL, not an
+    error (sqlite_testrunner_queries.sql:118-119 diff these against
+    SQLite).  A zero divisor is replaced with NULL so Arrow's kernel
+    propagates null instead of raising ArrowInvalid (ints) or
+    producing ±inf (floats)."""
+    ty = y.type if hasattr(y, "type") else pa.int64()
+    if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)):
+        return y
+    return pc.if_else(pc.equal(y, pa.scalar(0, ty)
+                               if pa.types.is_integer(ty)
+                               else pa.scalar(0.0, ty)),
+                      pa.scalar(None, ty), y)
+
+
+def div(a, b):
+    return _Kernel(lambda x, y: pc.divide(x, _null_zero_divisor(y)),
+                   _wrap(a), _wrap(b))
 def mod(a, b):
     # SQL % : pc has no modulo kernel → a - trunc(a/b)*b.  pc.divide
     # truncates for ints but is exact for floats, so the quotient must
@@ -107,6 +124,7 @@ def mod(a, b):
     # float path degenerates to a - (a/b)*b ≈ 0 for every operand).
     a, b = _wrap(a), _wrap(b)
     def _mod(x, y):
+        y = _null_zero_divisor(y)
         q = pc.divide(x, y)
         qt = q.type if hasattr(q, "type") else pa.float64()
         if pa.types.is_floating(qt):

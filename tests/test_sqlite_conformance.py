@@ -751,6 +751,31 @@ CASES = [
      lambda T: pd.DataFrame({"some_exists":
                              [bool(len(T["iii100"]))]}),
      "SELECT EXISTS(SELECT * FROM id_int_int_int_100) AS some_exists"),
+    # -- arithmetic / division-by-zero NULL semantics ----------------
+    # sqlite_testrunner_queries.sql:109,112,118,119 (SQLite: x/0 NULL)
+    ("proj_div_chain_float",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"x": (c("b") * c("c")) / c("b")
+                             + (c("c") * c("c")) / c("b")
+                             - c("b") / c("b")}),
+     "SELECT (b * c) / b + (c * c) / b - b / b AS x FROM mixed"),
+    ("proj_int_div_mul",
+     lambda T: R.projection(mk(T, "iii100"),
+                            {"calc": c("a") * c("b") / c("c")}),
+     "SELECT a*b//c AS calc FROM id_int_int_int_100"),
+    ("div_by_zero_null",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"z1": L(2) / L(0), "z2": c("b") / L(0),
+                             "z3": L(50) / c("id")}),
+     "SELECT 2 // NULLIF(0, 0) AS z1, b // NULLIF(0, 0) AS z2, "
+     "50 // id AS z3 FROM mixed"),
+    ("mod_by_zero_null",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"z1": R.mod(L(2), L(0)),
+                             "z2": R.mod(c("b"), L(0)),
+                             "z3": R.mod(L(50), c("id"))}),
+     "SELECT 2 % NULLIF(0, 0) AS z1, b % NULLIF(0, 0) AS z2, "
+     "50 % id AS z3 FROM mixed"),
 ]
 
 
