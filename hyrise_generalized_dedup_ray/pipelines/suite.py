@@ -544,6 +544,19 @@ def redact_pii(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def approx_distinct_texts(sf_dir: str):
+    """HyperLogLog approximate distinct-text count: block-local
+    registers, tree max-merge, one row back — the mergeable-sketch
+    pattern (functions/sketch.py).  Deterministic but approximate by
+    design, so no SQL twin (~1.6% at p=12); cross-checked against the
+    exact count in pytest (test_hll_approx_count_distinct)."""
+    from hyrise_generalized_dedup_ray.relational import (
+        approx_count_distinct)
+
+    docs = load_table(sf_dir, "documents", columns=["text"])
+    return approx_count_distinct(docs, "text", p=12)
+
+
 def curation_pipeline(sf_dir: str):
     """End-to-end curation composite — the stages a training-data run
     chains, each individually oracle-checked, here verified AS A CHAIN
@@ -1503,6 +1516,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "decontaminate_docs": decontaminate_docs,
     "url_dedup": url_dedup,
+    "approx_distinct_texts": approx_distinct_texts,
     "curation_pipeline": curation_pipeline,
     "vocab_top_terms": vocab_top_terms,
     "exact_dedup_best": exact_dedup_best,

@@ -13,7 +13,7 @@ from hyrise_generalized_dedup_ray.relational.expressions import (  # noqa: F401
     not_, or_, round_, sub, substr, trunc,
 )
 from hyrise_generalized_dedup_ray.relational.operators import (  # noqa: F401
-    agg, aggregate, aggregate_quantiles, alias, anti_join, band_join, broadcast_join, difference,
+    agg, aggregate, aggregate_quantiles, alias, anti_join, approx_count_distinct, band_join, broadcast_join, difference,
     distinct, exists_join, hash_join, hash_sample, intersect, limit,
     multi_predicate_join, print_table, product, projection, semi_join,
     sort, table_scan, theta_join, top_k, union_all, union_distinct,

@@ -649,3 +649,25 @@ def test_line_dedup_universal_line_across_blocks(ray_session):
     assert (out["text_clean"] == [f"unique {i}" for i in range(n)]).all()
     exp_removed = [2 if i in (10, 20, 30) else 1 for i in range(n)]
     assert out["n_removed"].tolist() == exp_removed
+
+
+def test_hll_approx_count_distinct(ray_session):
+    """HLL estimate within ~3x its theoretical error at several
+    cardinalities, deterministic across partitionings."""
+    import ray
+
+    from hyrise_generalized_dedup_ray.relational import (
+        approx_count_distinct)
+
+    for true_n in (50, 1000, 20000):
+        vals = [f"value-{i % true_n}" for i in range(true_n * 2)]
+        t = pa.table({"v": pa.array(vals)})
+        got = approx_count_distinct(
+            ray.data.from_arrow(t).repartition(6), "v", p=12) \
+            .to_pandas()["n_approx"].iloc[0]
+        err = abs(got - true_n) / true_n
+        assert err < 0.05, (true_n, got, err)
+        got2 = approx_count_distinct(
+            ray.data.from_arrow(t).repartition(2), "v", p=12) \
+            .to_pandas()["n_approx"].iloc[0]
+        assert got2 == got   # partition-independent
