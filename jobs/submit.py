@@ -49,6 +49,14 @@ def main() -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"), **kwargs)
 
     from hyrise_generalized_dedup_ray.pipelines.dedup import run_dedup_checkpointed
+    from hyrise_generalized_dedup_ray.util import prewarm_cluster
+
+    # warm every worker's memory arena before the pipeline: a resident
+    # production pool is always warm; fresh workers on this sandbox
+    # (and on autoscaled nodes) pay pathological first-touch fault
+    # latency inside the first real batch otherwise (tools/
+    # memfault_probe.py, BASELINE.md round-3 scaling section)
+    prewarm_cluster(int(ray.cluster_resources().get("CPU", 8)))
 
     labels, metrics = run_dedup_checkpointed(
         args.input, args.ckpt, num_partitions=args.num_partitions)
