@@ -253,9 +253,9 @@ def main() -> None:
         max_pairs = int(os.environ.get("GRAFT_SCALING_MAX_PAIRS", "9"))
         gate_steal = float(os.environ.get("GRAFT_SCALING_GATE_STEAL", "5.0"))
         gate_factor = float(os.environ.get("GRAFT_SCALING_GATE_FACTOR", "1.2"))
-        # clean-host wall-time profile (240k-doc fixture; BASELINE.md
-        # round-2 measurement: 101.6 s @2cpus, 27.4 s @8cpus) scaled
-        # linearly to other doc counts / legs when overridden
+        # clean-host wall-time profile (240k-doc fixture; round-3
+        # measured base {2: 112.0, 8: 34.0} below) scaled linearly to
+        # other doc counts / legs when overridden
         profile_env = os.environ.get("GRAFT_SCALING_PROFILE", "")
         if profile_env:
             profile = {int(k): float(v) for k, v in

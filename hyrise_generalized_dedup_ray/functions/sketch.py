@@ -27,18 +27,27 @@ _U64 = np.uint64
 
 
 def hll_empty(p: int = 12) -> np.ndarray:
+    if not 12 <= p <= 18:
+        raise ValueError(
+            f"hll p={p} out of range [12, 18]: p >= 12 keeps the "
+            "64-p rest bits exactly representable as float64 (frexp "
+            "rho trick), p <= 18 bounds register state at 256 KiB")
     return np.zeros(1 << p, dtype=np.uint8)
 
 
 def hll_add_hashes(regs: np.ndarray, h: np.ndarray, p: int) -> None:
     """Fold u64 hashes into the register array in place (vectorized)."""
+    if p < 12:
+        raise ValueError(f"hll p={p} < 12: rest would exceed 2^52 and "
+                         "the float64 floor(log2) below could round up")
     if not len(h):
         return
     m_bits = 64 - p
     idx = (h >> _U64(m_bits)).astype(np.int64)
     rest = h & ((_U64(1) << _U64(m_bits)) - _U64(1))
-    # floor(log2(rest)) exactly: rest < 2^52 is exactly representable
-    # as a double; frexp's exponent e satisfies value = m·2^e, m∈[.5,1)
+    # floor(log2(rest)) exactly: p >= 12 (guarded above) makes
+    # rest < 2^52 exactly representable as a double; frexp's
+    # exponent e satisfies value = m·2^e, m∈[.5,1)
     _, e = np.frexp(rest.astype(np.float64))
     rho = np.where(rest > 0, m_bits - (e - 1), m_bits + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rho)

@@ -672,7 +672,9 @@ def exact_dedup_best(sf_dir: str):
     def first(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         m = pc.equal(batch.column("rn"), pa.scalar(1))
-        return batch.filter(m).select(["doc_id", "n_chars"])             .rename_columns(["rep_id", "n_chars"])
+        return (batch.filter(m)
+                .select(["doc_id", "n_chars"])
+                .rename_columns(["rep_id", "n_chars"]))
 
     return w.map_batches(first, batch_format="pyarrow",
                          zero_copy_batch=True)

@@ -46,24 +46,30 @@ from hyrise_generalized_dedup_ray.functions.hashing import (
 )
 
 _U64 = np.uint64
-# independent-ish hash streams derived from one u64 via seeded splitmix
-_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
-                   0x94D049BB133111EB, 0xD6E8FEB86659FD93],
-                  dtype=_U64)
+# two base streams for Kirsch–Mitzenmacher double hashing
+_SEED_A = _U64(0x9E3779B97F4A7C15)
+_SEED_B = _U64(0xBF58476D1CE4E5B9)
 
 
 def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
-    """(m_bits rounded up to a u64-word multiple, k hash functions)."""
+    """(m_bits rounded up to a u64-word multiple, k hash functions).
+
+    k is the textbook optimum (m/n)·ln 2, uncapped: the k streams come
+    from double hashing (h1 + i·h2), so any requested fpp is realized
+    (Kirsch & Mitzenmacher, "Less Hashing, Same Performance", 2006).
+    """
     n = max(1, n_items)
     m = int(-n * math.log(fpp) / (math.log(2) ** 2))
     m = max(64, (m + 63) // 64 * 64)
-    k = max(1, min(len(_SEEDS), round(m / n * math.log(2))))
+    k = max(1, round(m / n * math.log(2)))
     return m, k
 
 
 def _bit_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """(k, n) bit indices for each u64 hash."""
-    return np.stack([splitmix64(h ^ _SEEDS[i]) % _U64(m_bits)
+    """(k, n) bit indices via double hashing: pos_i = h1 + i·h2 mod m."""
+    h1 = splitmix64(h ^ _SEED_A)
+    h2 = splitmix64(h ^ _SEED_B) | _U64(1)   # odd => full period mod 2^64
+    return np.stack([(h1 + _U64(i) * h2) % _U64(m_bits)
                      for i in range(k)])
 
 
@@ -102,12 +108,17 @@ def _or_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def build_bloom(ds: Dataset, col: str, n_items_hint: int,
-                fpp: float = 0.01) -> tuple["ray.ObjectRef", int, int]:
+                fpp: float = 0.01,
+                block_refs: list | None = None
+                ) -> tuple["ray.ObjectRef", int, int]:
     """Bloom filter over ``ds[col]``: per-block bitmaps OR-reduced in a
-    binary task tree.  Returns (bitmap ref, m_bits, k)."""
+    binary task tree.  Returns (bitmap ref, m_bits, k).  Pass
+    ``block_refs`` (from ``ds.to_arrow_refs()``) to reuse an already
+    materialized execution instead of re-running the dataset."""
     m_bits, k = bloom_params(n_items_hint, fpp)
-    refs = [_block_bitmap.remote(r, col, m_bits, k)
-            for r in ds.to_arrow_refs()]
+    if block_refs is None:
+        block_refs = ds.to_arrow_refs()
+    refs = [_block_bitmap.remote(r, col, m_bits, k) for r in block_refs]
     if not refs:
         return ray.put(np.zeros(m_bits // 64, dtype=_U64)), m_bits, k
     while len(refs) > 1:
@@ -132,11 +143,15 @@ def incremental_dedup(
     bloom only routes rows around the confirmation joins."""
     from hyrise_generalized_dedup_ray.stages.exchange import exchange_join
 
-    ex = existing.select_columns([text_col])
+    # Materialize the pruned existing side ONCE: the bloom build, the
+    # row count (metadata-only after materialize) and both confirmation
+    # joins all read the same blocks — one scan of the corpus, not two.
+    ex = existing.select_columns([text_col]).materialize()
     inc = incoming.select_columns([id_col, text_col])
     if n_items_hint is None:
         n_items_hint = ex.count()
-    bloom_ref, m_bits, k = build_bloom(ex, text_col, n_items_hint, fpp)
+    bloom_ref, m_bits, k = build_bloom(
+        ex, text_col, n_items_hint, fpp, block_refs=ex.to_arrow_refs())
 
     class _Probe:
         def __init__(self):
