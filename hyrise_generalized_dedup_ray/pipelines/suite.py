@@ -1487,65 +1487,22 @@ def meta_system_information(sf_dir: str):
 # --------------------------------------------------------------------------
 
 QUERIES = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "filter_project_scan": filter_project_scan,
-    "scalar_functions": scalar_functions,
-    "alias_unary_minus": alias_unary_minus,
-    "extract_groupby": extract_groupby,
-    "like_in_between_scan": like_in_between_scan,
-    "top_k_orders": top_k_orders,
-    "join_customer_nation_region": join_customer_nation_region,
-    "left_join_order_counts": left_join_order_counts,
-    "semi_join_rich": semi_join_rich,
-    "anti_join_quiet_customers": anti_join_quiet_customers,
-    "cross_product_regions": cross_product_regions,
-    "set_union_nations": set_union_nations,
-    "set_intersect_nations": set_intersect_nations,
-    "set_except_parts": set_except_parts,
-    "distinct_segments": distinct_segments,
-    "agg_stats_lineitem": agg_stats_lineitem,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q10_returned_items": q10_returned_items,
-    "global_count_distinct": global_count_distinct,
-    "events_by_type": events_by_type,
-    "token_stats": token_stats,
-    "quality_filter": quality_filter,
-    "lang_id": lang_id,
-    "repetition_stats": repetition_stats,
-    "redact_pii": redact_pii,
-    "doc_fingerprints": doc_fingerprints,
-    "decontaminate_docs": decontaminate_docs,
-    "url_dedup": url_dedup,
-    "approx_distinct_texts": approx_distinct_texts,
-    "curation_pipeline": curation_pipeline,
-    "vocab_top_terms": vocab_top_terms,
-    "exact_dedup_best": exact_dedup_best,
-    "group_quantiles": group_quantiles,
-    "normalize_text": normalize_text,
-    "semantic_dedup": semantic_dedup_embeddings,
-    "line_dedup": line_dedup_docs,
-    "incremental_text_dedup": incremental_text_dedup,
-    "exact_dedup": exact_dedup,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
-    "simhash_pairs": simhash_pairs,
-    "ngram_jaccard": ngram_jaccard,
-    "ngram_jaccard_exact": ngram_jaccard_exact,
-    "substring_dups": substring_dups,
-    "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "ann_brute_force": ann_brute_force,
-    "ann_lsh": ann_lsh,
-    "ann_ivf": ann_ivf,
+    # Order matters: the external driver snapshots the FIRST 50
+    # registry entries into its CORRECTNESS artifact, so the
+    # queries that have never had a driver row (joins variants,
+    # windows, time-series, sampling, write path, meta, ann_ivf)
+    # lead, followed by the flagship-family headliners.  The
+    # rotated-out TPC-H-shape queries stay covered by the SQL
+    # conformance suite and the committed full-surface artifact
+    # (tools/check_correctness.py --json CORRECTNESS_full_r4.json).
     "multi_pred_join": multi_pred_join,
     "theta_join_regions": theta_join_regions,
-    "sort_orders_nulls": sort_orders_nulls,
     "right_join_customer_orders": right_join_customer_orders,
     "full_outer_join_counts": full_outer_join_counts,
     "exists_correlated": exists_correlated,
     "not_exists_correlated": not_exists_correlated,
     "range_join_events": range_join_events,
+    "sort_orders_nulls": sort_orders_nulls,
     "window_tumbling_events": window_tumbling_events,
     "window_hopping_events": window_hopping_events,
     "sessionize_events": sessionize_events,
@@ -1554,6 +1511,7 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "stratified_sample_docs": stratified_sample_docs,
     "write_path_roundtrip": write_path_roundtrip,
+    "ann_ivf": ann_ivf,
     "meta_segments": meta_segments,
     "meta_segments_accurate": meta_segments_accurate,
     "meta_chunks": meta_chunks,
@@ -1568,6 +1526,56 @@ QUERIES = {
     "meta_system_information": meta_system_information,
     "multimodal_decode": multimodal_decode,
     "flagship_dedup": flagship_dedup,
+    "q1_pricing_summary": q1_pricing_summary,
+    "join_customer_nation_region": join_customer_nation_region,
+    "agg_stats_lineitem": agg_stats_lineitem,
+    "exact_dedup": exact_dedup,
+    "exact_dedup_best": exact_dedup_best,
+    "url_dedup": url_dedup,
+    "line_dedup": line_dedup_docs,
+    "incremental_text_dedup": incremental_text_dedup,
+    "decontaminate_docs": decontaminate_docs,
+    "curation_pipeline": curation_pipeline,
+    "vocab_top_terms": vocab_top_terms,
+    "group_quantiles": group_quantiles,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_pairs": simhash_pairs,
+    "ngram_jaccard_exact": ngram_jaccard_exact,
+    "substring_dups": substring_dups,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "ann_brute_force": ann_brute_force,
+    "global_count_distinct": global_count_distinct,
+    "filter_project_scan": filter_project_scan,
+    "scalar_functions": scalar_functions,
+    "alias_unary_minus": alias_unary_minus,
+    "extract_groupby": extract_groupby,
+    "like_in_between_scan": like_in_between_scan,
+    "top_k_orders": top_k_orders,
+    "left_join_order_counts": left_join_order_counts,
+    "semi_join_rich": semi_join_rich,
+    "anti_join_quiet_customers": anti_join_quiet_customers,
+    "cross_product_regions": cross_product_regions,
+    "set_union_nations": set_union_nations,
+    "set_intersect_nations": set_intersect_nations,
+    "set_except_parts": set_except_parts,
+    "distinct_segments": distinct_segments,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "events_by_type": events_by_type,
+    "token_stats": token_stats,
+    "quality_filter": quality_filter,
+    "lang_id": lang_id,
+    "repetition_stats": repetition_stats,
+    "redact_pii": redact_pii,
+    "doc_fingerprints": doc_fingerprints,
+    "approx_distinct_texts": approx_distinct_texts,
+    "normalize_text": normalize_text,
+    "semantic_dedup": semantic_dedup_embeddings,
+    "ngram_jaccard": ngram_jaccard,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "ann_lsh": ann_lsh,
 }
 
 _TOKEN_RE = r"\S+"

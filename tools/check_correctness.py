@@ -2,7 +2,12 @@
 ``queries()`` entry at a given sf and diff against ``oracle_sql()``
 via DuckDB (row count + schema names + order-insensitive value hash).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT] [sf_dir] [query ...]
+
+``--json OUT`` additionally writes a driver-format artifact (one
+object per query with rows_match/schema_match/hash_match) covering the
+FULL registry, so rounds can commit full-surface evidence beyond the
+driver's first-50 snapshot.
 """
 
 from __future__ import annotations
@@ -42,8 +47,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
     if not ray.is_initialized():
@@ -66,6 +76,7 @@ def main() -> int:
     oracles = {name: sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
                for name, sql in entrymod.oracle_sql().items()}
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,16 +86,27 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: raised {type(exc).__name__}: {exc}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(exc).__name__}: {exc}"}
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(ours)} rows, {dt:.1f}s)")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(ours),
+                            "oracle_rows": None, "err": None,
+                            "note": "no_oracle (rows-only by design)"}
             continue
         theirs = con.execute(oracles[name]).fetchdf()
         ok_rows = len(ours) == len(theirs)
         ok_schema = sorted(ours.columns) == sorted(theirs.columns)
         ok_hash = ok_rows and ok_schema and value_hash(ours) == value_hash(theirs)
         status = "ok  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        report[name] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                        "hash_match": ok_hash, "spark_rows": len(ours),
+                        "oracle_rows": len(theirs), "err": None}
         print(f"{status} {name}: rows {len(ours)}/{len(theirs)} "
               f"schema={'=' if ok_schema else sorted(ours.columns)} "
               f"hash={'=' if ok_hash else 'MISMATCH'} ({dt:.1f}s)")
@@ -98,6 +120,12 @@ def main() -> int:
                 print("  ours:\n", a[bad].head(3))
                 print("  oracle:\n", b[bad].head(3))
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report,
+                       "failures": failures}, f, indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 
