@@ -275,13 +275,31 @@ def _aggregate_with_distinct(
     (the common case — ids), and removes three all-to-all exchanges.
     Std uses the two-pass mean/residual formula (numerically safer than
     sum-of-squares; ddof=1 like the reference's Welford,
-    abstract_aggregate_operator.hpp:17-110)."""
+    abstract_aggregate_operator.hpp:17-110).
+
+    Shuffle routing (round 4): the key exchange runs on the engine's
+    own hash_exchange (stages/exchange.py) with ``agg_partition`` as
+    the per-shard reduce kernel — NOT Ray's sort-based
+    ``groupby().map_groups``, whose boundary sampling + barriers
+    stretch ~135 CPU-s of work to 60-240 s wall (measured,
+    stages/exchange.py:5-11).  ``_pkey`` is already the shard id, so
+    the exchange routes without re-hashing (key_is_shard)."""
     from hyrise_generalized_dedup_ray.functions.grouping import (
         partition_ids, sort_groups)
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange
 
     keys = list(keys)
     need_cols = list(dict.fromkeys(
         keys + [on for _, on in aggs.values() if on]))
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    out_schema = pa.schema(
+        [(k, base.field(k).type) for k in keys]
+        + [(name, _agg_out_type(base.field(on).type if on else None, fn))
+           for name, (fn, on) in aggs.items()])
+    map_schema = pa.schema(
+        [(c, base.field(c).type) for c in need_cols]
+        + [("_pkey", pa.int64())])
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         # hash the key VALUES null-safely (dictionary codes are
@@ -299,7 +317,7 @@ def _aggregate_with_distinct(
     def agg_partition(part: pa.Table) -> pa.Table:
         n = len(part)
         if n == 0:
-            return pa.table({})
+            return out_schema.empty_table()
         # group identity inside the partition via per-partition
         # dictionary codes (consistent within one table)
         codes = []
@@ -455,11 +473,28 @@ def _aggregate_with_distinct(
         cols.update({name: out[name] for name in aggs})
         return pa.table(cols)
 
-    return (
-        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_pkey")
-        .map_groups(agg_partition, batch_format="pyarrow")
-    )
+    return hash_exchange(ds, add_pkey, "_pkey", agg_partition,
+                         num_shards=num_partitions, schema=map_schema,
+                         key_is_shard=True)
+
+
+def _agg_out_type(t: pa.DataType | None, fn: str) -> pa.DataType:
+    """Output dtype of one aggregate, mirroring agg_partition's
+    per-type branches (the reference's AggregateTraits,
+    aggregate_traits.hpp)."""
+    if fn in ("count", "count_star", "count_distinct"):
+        return pa.int64()
+    int_like = pa.types.is_integer(t) or pa.types.is_boolean(t)
+    temporal = pa.types.is_temporal(t)
+    if fn == "sum":
+        return pa.int64() if (int_like or temporal) else pa.float64()
+    if fn in ("min", "max"):
+        if int_like or temporal:
+            return t
+        if pa.types.is_floating(t):
+            return pa.float64()
+        return t          # generic ordered path (strings, binary, …)
+    return pa.float64()   # avg / std
 
 
 # --------------------------------------------------------------------------
