@@ -142,14 +142,27 @@ def batch_winnow_fingerprints(
     datas = [t.encode("utf-8") for t in texts]
     lens = np.array([len(d) for d in datas], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+    flat = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    return winnow_fingerprints_csr(flat, offs, k, w)
+
+
+def winnow_fingerprints_csr(
+    flat: np.ndarray, offs: np.ndarray, k: int = SUBSTR_K,
+    w: int = SUBSTR_W,
+) -> list[np.ndarray]:
+    """CSR core of :func:`batch_winnow_fingerprints` — feed it Arrow
+    string buffers directly (functions/text.utf8_csr) to skip the
+    encode + join copies entirely."""
+    buf = flat.astype(np.uint64)
+    ndocs = len(offs) - 1
+    lens = np.diff(offs)
     n = len(buf)
     num = n - k + 1
     if num > 0:
         h = _gram_hashes_from_u64(buf, k)
     out: list[np.ndarray] = []
     empty = np.empty(0, dtype=np.uint64)
-    for i in range(len(datas)):
+    for i in range(ndocs):
         cnt = lens[i] - k + 1
         if cnt <= 0:
             out.append(empty)

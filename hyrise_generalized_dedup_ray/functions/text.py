@@ -64,28 +64,73 @@ def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     are processed in ≤``_TOKENIZE_CHUNK_BYTES`` chunks split at
     document boundaries (hashes are per-token, so chunking is exact).
     """
+    flat, offs = _encode_csr(texts)
+    return tokenize_csr(flat, offs)
+
+
+def _encode_csr(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Python strings → (flat utf-8 uint8, int64 CSR doc offsets)."""
     ndocs = len(texts)
     offsets = np.zeros(ndocs + 1, dtype=np.int64)
     if ndocs == 0:
-        return np.empty(0, dtype=np.uint64), offsets
+        return np.empty(0, dtype=np.uint8), offsets
     bufs = [t.encode("utf-8") if t else b"" for t in texts]
-    doc_lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=ndocs)
+    np.cumsum(np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                          count=ndocs), out=offsets[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return flat, offsets
+
+
+def utf8_csr(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (flat utf-8 uint8, int64 CSR offsets),
+    zero-copy straight from the array's offsets/data buffers — no
+    Python string objects, no re-encode (the lines.py:50-61 pattern
+    promoted to the shared tokenizer entry point).  Nulls read as
+    empty documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    off_dt = (np.int64 if pa.types.is_large_string(col.type)
+              else np.int32)
+    bufs = col.buffers()
+    o = np.frombuffer(bufs[1], dtype=off_dt)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    return data[o[0]: o[-1]], o - o[0]
+
+
+def tokenize_csr(flat: np.ndarray,
+                 offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """CSR core of :func:`tokenize_batch`: flat utf-8 bytes + doc
+    offsets → (flat token hashes, token CSR offsets).  Bit-identical
+    to the string-list path (token hashes are position-invariant, so
+    dropping the old join-separator bytes changes nothing)."""
+    ndocs = len(offsets) - 1
+    out_offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    if ndocs == 0 or len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), out_offsets
     counts = np.empty(ndocs, dtype=np.int64)
     hash_parts: list[np.ndarray] = []
     lo = 0
     while lo < ndocs:
-        hi, budget = lo, _TOKENIZE_CHUNK_BYTES
-        while hi < ndocs and (hi == lo or doc_lens[hi] <= budget):
-            budget -= doc_lens[hi]
-            hi += 1
-        th, tc = _tokenize_chunk(bufs[lo:hi], doc_lens[lo:hi])
+        # chunk split at document boundaries within the byte budget
+        hi = int(np.searchsorted(
+            offsets, offsets[lo] + _TOKENIZE_CHUNK_BYTES, side="right")) - 1
+        hi = max(hi, lo + 1)
+        th, tc = _tokenize_chunk(flat[offsets[lo]: offsets[hi]],
+                                 offsets[lo: hi + 1] - offsets[lo])
         hash_parts.append(th)
         counts[lo:hi] = tc
         lo = hi
-    np.cumsum(counts, out=offsets[1:])
-    flat = (np.concatenate(hash_parts) if len(hash_parts) > 1
-            else hash_parts[0])
-    return flat, offsets
+    np.cumsum(counts, out=out_offsets[1:])
+    flat_h = (np.concatenate(hash_parts) if len(hash_parts) > 1
+              else hash_parts[0])
+    return flat_h, out_offsets
 
 
 class _TokenizerScratch:
@@ -142,14 +187,15 @@ def _splitmix64_inplace(x: np.ndarray, tmp: np.ndarray) -> np.ndarray:
 
 
 def _tokenize_chunk(
-    bufs: list[bytes], doc_lens: np.ndarray
+    flat: np.ndarray, offs: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One bounded chunk of :func:`tokenize_batch`: returns the chunk's
-    flat token hashes plus per-doc token counts."""
-    ndocs = len(bufs)
-    # join with a single space so no token can span a document boundary;
-    # doc i's bytes then start at doc_lens.cumsum()[i-1] + i
-    flat = np.frombuffer(b" ".join(bufs), dtype=np.uint8)
+    """One bounded chunk of :func:`tokenize_csr` (flat bytes + local
+    doc offsets): returns the chunk's flat token hashes plus per-doc
+    token counts.  Documents are adjacent with NO separator bytes;
+    token runs are additionally split at document boundaries (the
+    forced start/end masks below), which is exactly what the earlier
+    join-with-one-space representation encoded positionally."""
+    ndocs = len(offs) - 1
     total = len(flat)
     counts = np.zeros(ndocs, dtype=np.int64)
     if total == 0:
@@ -160,13 +206,20 @@ def _tokenize_chunk(
     is_tok = np.take(_WS_LUT_NEG, flat, out=s.is_tok[:total])
     if not np.any(is_tok):
         return np.empty(0, dtype=np.uint64), counts
-    # token starts: non-ws preceded by ws/BOF; ends: non-ws followed by ws/EOF
+    # token starts: non-ws preceded by ws/BOF; ends: non-ws followed by
+    # ws/EOF — plus forced boundaries at document starts/ends so a run
+    # spanning adjacent documents splits into one token per document
     mask = s.mask[:total]
     np.greater(is_tok[1:], is_tok[:-1], out=mask[1:])
     mask[0] = is_tok[0]
+    ds_pos = offs[:-1][offs[:-1] < total]
+    mask[ds_pos] = is_tok[ds_pos]
     starts = np.flatnonzero(mask)
     np.greater(is_tok[:-1], is_tok[1:], out=mask[:-1])
     mask[total - 1] = is_tok[total - 1]
+    de_pos = offs[1:] - 1
+    de_pos = de_pos[de_pos >= 0]
+    mask[de_pos] = is_tok[de_pos]
     ends = np.flatnonzero(mask)      # inclusive last byte; +1 applied below
     m = len(starts)
 
@@ -184,9 +237,7 @@ def _tokenize_chunk(
         h *= np.take(s.apow, ends, out=t2)            # apow[e-1]
         tok_hash = _splitmix64_inplace(h, t2).copy()
 
-    doc_starts = np.zeros(ndocs, dtype=np.int64)
-    np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
-    tok_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    tok_doc = np.searchsorted(offs, starts, side="right") - 1
     counts = np.bincount(tok_doc, minlength=ndocs).astype(np.int64)
     return tok_hash, counts
 
@@ -232,6 +283,15 @@ def batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     """texts → (flat shingle hashes, per-doc CSR offsets)."""
     tok, off = tokenize_batch(texts)
     return shingle_hashes(tok, off, n)
+
+
+def batch_shingles_arrow(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (flat shingle hashes, CSR offsets) without
+    materializing Python strings (bit-identical to
+    :func:`batch_shingles` on the same values)."""
+    flat, offs = utf8_csr(col)
+    tok, toff = tokenize_csr(flat, offs)
+    return shingle_hashes(tok, toff, n)
 
 
 def char_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:

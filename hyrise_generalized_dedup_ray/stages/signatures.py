@@ -32,8 +32,16 @@ from hyrise_generalized_dedup_ray.functions.minhash import (
     minhash_signatures,
     simhash_signatures,
 )
-from hyrise_generalized_dedup_ray.functions.substr import winnow_fingerprints
-from hyrise_generalized_dedup_ray.functions.text import batch_shingles
+from hyrise_generalized_dedup_ray.functions.substr import (
+    winnow_fingerprints,
+    winnow_fingerprints_csr,
+)
+from hyrise_generalized_dedup_ray.functions.text import (
+    batch_shingles,
+    shingle_hashes,
+    tokenize_csr,
+    utf8_csr,
+)
 
 
 def doc_ids_for_urls(urls) -> np.ndarray:
@@ -55,44 +63,55 @@ class SignerActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch.column("text").to_pylist()
+        text_col = batch.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
         if "doc_id" in batch.column_names:
             # documents-style input: ids provided by the table
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            urls = (batch.column("url").to_pylist()
-                    if "url" in batch.column_names
-                    else [f"doc://{int(i)}" for i in ids])
+            url_col = (batch.column("url")
+                       if "url" in batch.column_names
+                       else pa.array([f"doc://{int(i)}" for i in ids],
+                                     type=pa.string()))
         else:
-            urls = batch.column("url").to_pylist()
-            ids = doc_ids_for_urls(urls)
+            url_col = batch.column("url")
+            ids = doc_ids_for_urls(
+                url_col.to_numpy(zero_copy_only=False))
+        if isinstance(url_col, pa.ChunkedArray):
+            url_col = url_col.combine_chunks()
 
-        flat, offsets = batch_shingles(texts, cfg.shingle_n)
+        # zero-copy Arrow buffers → CSR kernels: no Python string
+        # objects, no utf-8 re-encode (round-3 profile: the
+        # to_pylist round-trip was pure overhead in the pipeline's
+        # most expensive stage).  SipHash for text_hash / doc ids
+        # still reads object arrays — pandas' SipHash-1-3 is the
+        # engine-wide stable string hash and keeps oracle parity.
+        flat_u8, doc_offs = utf8_csr(text_col)
+        tok, toff = tokenize_csr(flat_u8, doc_offs)
+        flat, offsets = shingle_hashes(tok, toff, cfg.shingle_n)
         sig = minhash_signatures(flat, offsets, cfg)
         sim = simhash_signatures(flat, offsets, cfg)
         bands = band_keys(sig, cfg)
         n_shingles = np.diff(offsets)
-        text_hash = hash_strings(texts)
+        text_hash = hash_strings(text_col.to_numpy(zero_copy_only=False))
 
         cols: dict[str, pa.Array] = {
             "doc_id": pa.array(ids, type=pa.int64()),
-            "url": pa.array(urls, type=pa.string()),
+            "url": url_col,
             "band_keys": _list_of_u64(bands),
             "simhash": pa.array(sim.view(np.int64), type=pa.int64()),
             "num_shingles": pa.array(n_shingles, type=pa.int64()),
             "text_hash": pa.array(text_hash.view(np.int64), type=pa.int64()),
         }
         if self.with_fingerprints:
-            from hyrise_generalized_dedup_ray.functions.substr import \
-                batch_winnow_fingerprints
-
-            fps = batch_winnow_fingerprints(texts)
+            fps = winnow_fingerprints_csr(flat_u8, doc_offs)
             offs = np.zeros(len(fps) + 1, dtype=np.int32)
             np.cumsum([len(f) for f in fps], out=offs[1:])
             flat_fp = (np.concatenate(fps) if fps else np.empty(0, np.uint64))
             cols["fingerprints"] = pa.ListArray.from_arrays(
                 pa.array(offs), pa.array(flat_fp.view(np.int64), type=pa.int64())
             )
-        cols["text"] = pa.array(texts, type=pa.string())
+        cols["text"] = text_col
         return pa.table(cols)
 
 

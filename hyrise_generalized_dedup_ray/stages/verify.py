@@ -19,6 +19,7 @@ import functools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -190,42 +191,51 @@ class JaccardVerifier:
         self.cfg = cfg
         self.cfg_key = cfg.config_hash()
 
-    def _sets_for(self, texts: list[str]) -> list[np.ndarray]:
+    def _sets_for_arrow(self, uniq_col: pa.Array) -> list[np.ndarray]:
+        """Shingle sets for an Arrow array of DISTINCT texts.  Cache
+        keys are the Python strings (exact, no collision risk) — but
+        only the uniques are materialized, and only the cache-missing
+        ones are shingled, on the zero-copy Arrow path."""
+        from hyrise_generalized_dedup_ray.functions.text import \
+            batch_shingles_arrow
+
         cfg = self.cfg
-        # resolve through a batch-local dict so FIFO eviction during
+        # resolve through a batch-local list so FIFO eviction during
         # this batch's inserts can never invalidate this batch's lookups
-        local: dict[str, np.ndarray] = {}
-        for t in texts:
-            if t not in local:
-                cached = _SHINGLE_CACHE.get((self.cfg_key, t))
-                if cached is not None:
-                    local[t] = cached
-        missing = [t for t in dict.fromkeys(texts) if t not in local]
+        keys = uniq_col.to_pylist()
+        out: list[np.ndarray | None] = [
+            _SHINGLE_CACHE.get((self.cfg_key, t)) for t in keys]
+        missing = [i for i, v in enumerate(out) if v is None]
         if missing:
-            flat, offsets = batch_shingles(missing, cfg.shingle_n)
-            for i, t in enumerate(missing):
-                s = np.unique(flat[offsets[i]:offsets[i + 1]])
-                local[t] = s
+            flat, offsets = batch_shingles_arrow(
+                uniq_col.take(pa.array(missing, type=pa.int64())),
+                cfg.shingle_n)
+            for j, i in enumerate(missing):
+                s = np.unique(flat[offsets[j]:offsets[j + 1]])
+                out[i] = s
                 if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
                     _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
-                _SHINGLE_CACHE[(self.cfg_key, t)] = s
-        return [local[t] for t in texts]
+                _SHINGLE_CACHE[(self.cfg_key, keys[i])] = s
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        # shingle each distinct text once per batch (cache-backed)
-        uniq: dict[str, int] = {}
-        order: list[str] = []
-        for t in ta + tb:
-            if t not in uniq:
-                uniq[t] = len(order)
-                order.append(t)
-        sets = self._sets_for(order)
+        n = len(batch)
+        cols = []
+        for name in ("text_a", "text_b"):
+            c = batch.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols.append(pc.fill_null(c, ""))
+        # distinct texts once per batch via dictionary codes — no
+        # Python strings for the (typically dominant) repeated texts
+        enc = pa.concat_arrays(cols).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = self._sets_for_arrow(enc.dictionary)
         jac = np.fromiter(
-            (jaccard_sorted(sets[uniq[x]], sets[uniq[y]]) for x, y in zip(ta, tb)),
-            dtype=np.float64, count=len(ta),
+            (jaccard_sorted(sets[idx[i]], sets[idx[n + i]])
+             for i in range(n)),
+            dtype=np.float64, count=n,
         )
         keep = jac >= cfg.jaccard_threshold
         return pa.table({
