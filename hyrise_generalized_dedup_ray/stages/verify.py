@@ -577,25 +577,38 @@ def _build_exact_member_index(refs: list, num_partitions: int) -> dict:
 
 def _confirm_exact_partition(part: pa.Table) -> pa.Table:
     """One hash shard of (text_hash, doc_id, text) candidate rows →
-    byte-confirmed exact-dup star edges (see :func:`exact_dup_edges`)."""
+    byte-confirmed exact-dup star edges (see :func:`exact_dup_edges`).
+
+    Fully vectorized (round-4): sort by (hash, text, id) with Arrow's
+    C-level string sort, find group boundaries by adjacent-row
+    equality, and emit (min-id rep → member) edges with one gather —
+    a 10^6-copy boilerplate cluster confirms without a single
+    per-row ``.as_py()``."""
+    n = len(part)
+    if n < 2:
+        return pa.table({"a": pa.array([], type=_I64),
+                         "b": pa.array([], type=_I64)})
+    idx = pc.sort_indices(
+        part, sort_keys=[("text_hash", "ascending"),
+                         ("text", "ascending"),
+                         ("doc_id", "ascending")])
+    part = part.take(idx)
     th = part.column("text_hash").to_numpy(zero_copy_only=False)
     ids = part.column("doc_id").to_numpy(zero_copy_only=False)
-    order2, starts, ends = sort_groups((th,), order_by=(ids,))
-    th, ids = th[order2], ids[order2]
-    texts = part.column("text").take(pa.array(order2))
-    a: list[int] = []
-    b: list[int] = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        by_text: dict[str, list[int]] = {}
-        for j in range(s, e):
-            by_text.setdefault(texts[j].as_py(), []).append(int(ids[j]))
-        for group in by_text.values():
-            group.sort()
-            a.extend(group[0] for _ in group[1:])
-            b.extend(group[1:])
+    txt = part.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    same_hash = th[1:] == th[:-1]
+    same_text = pc.fill_null(
+        pc.equal(txt.slice(0, n - 1), txt.slice(1)), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.logical_not(same_hash & same_text, out=boundary[1:])
+    gid = np.cumsum(boundary) - 1
+    rep = ids[np.flatnonzero(boundary)][gid - 0]
+    member = ~boundary
     return pa.table({
-        "a": pa.array(a, type=_I64),
-        "b": pa.array(b, type=_I64),
+        "a": pa.array(rep[member], type=_I64),
+        "b": pa.array(ids[member], type=_I64),
     })
