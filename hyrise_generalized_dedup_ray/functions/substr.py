@@ -100,6 +100,41 @@ def gram_hashes(data: bytes, k: int = SUBSTR_K) -> np.ndarray:
     return _gram_hashes_from_u64(b, k)
 
 
+# chunk budget for gram_hashes_csr: power tables grow to the largest
+# single hashing pass ever seen (module-global cache), so bounding the
+# pass bounds their memory — 2 MiB ⇒ ≤32 MiB of cached tables/worker.
+_GRAM_CHUNK_BYTES = 2 * 1024 * 1024
+
+
+def gram_hashes_csr(flat: np.ndarray, offs: np.ndarray,
+                    k: int) -> np.ndarray:
+    """Gram hashes of EVERY document of a CSR batch in one call:
+    returns ``H`` with ``len(flat)`` slots where doc ``i``'s k-gram
+    hashes are ``H[offs[i] : offs[i] + max(0, len_i - k + 1)]`` —
+    bit-identical to per-doc :func:`gram_hashes` (a gram at offset p
+    reads bytes [p, p+k) only, and the valid slices never cross a
+    document boundary).  Slots past a doc's last gram are undefined.
+
+    Chunked at document boundaries (~2 MiB) so the cached power tables
+    stay small however large the batch."""
+    n = len(flat)
+    H = np.empty(n, dtype=np.uint64)
+    if n < k:
+        return H
+    ndocs = len(offs) - 1
+    lo = 0
+    while lo < ndocs:
+        hi = int(np.searchsorted(
+            offs, offs[lo] + _GRAM_CHUNK_BYTES, side="right")) - 1
+        hi = min(max(hi, lo + 1), ndocs)
+        o0, o1 = int(offs[lo]), int(offs[hi])
+        if o1 - o0 >= k:
+            h = _gram_hashes_from_u64(flat[o0:o1].astype(np.uint64), k)
+            H[o0:o0 + len(h)] = h
+        lo = hi
+    return H
+
+
 def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
     """Minimum of each w-length window of h — O(n), two-pass block trick."""
     n = len(h)

@@ -250,7 +250,41 @@ def _melt_group_texts(block: pa.Table, ref, P: int) -> pa.Table:
 
 def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
     """One shard of membership rows (kind=0) + per-shard-deduped text
-    rows (kind=1) → cross-doc ≥min_len-byte repeat edges."""
+    rows (kind=1) → cross-doc ≥min_len-byte repeat edges.
+
+    Three shard-level amortizations over the per-group form (the edge
+    SET is unchanged — each qualifying pair is emitted once per shard
+    instead of once per docset chunk, and downstream is union-find /
+    ``dedupe_pairs`` either way):
+
+    - zero-copy CSR text access (no ``to_pylist`` + re-encode); gram
+      hashes are computed lazily per doc straight off the CSR slices
+      (bit-identical to per-doc :func:`gram_hashes`).  Lazy-per-doc,
+      NOT one batched pass: a whole-shard hash array is 8 bytes per
+      text byte — ~0.8 GB per 100 MB shard × 32 concurrent workers
+      blew worker heaps at the 2M-page scale point, while the per-doc
+      transient is a few hundred KB.
+    - a per-doc sorted-gram cache built lazily with a single introsort
+      (any-occurrence witness index instead of np.unique's stable-sort
+      first-occurrence — any occurrence verifies equally, and the
+      collision fallback below keeps exactness either way).
+    - a shard-level pair-verdict memo: overlapping docset chunks retest
+      the same doc pair many times (73k pair tests vs far fewer
+      distinct pairs at 240k docs); "does this pair share a ≥L run" is
+      a pure function of the two texts, so each pair is decided once.
+
+    A pair whose common gram hashes all fail byte-verification (64-bit
+    collision) is resolved exactly by a two-doc suffix array — per
+    PAIR, not per group, so one adversarial collision can't knock a
+    whole boilerplate group onto the O(n log² n) path.
+    """
+    from hyrise_generalized_dedup_ray.functions.substr import (
+        _gram_hashes_from_u64,
+        PAIRWISE_MAX_BYTES,
+        PAIRWISE_MAX_GROUP,
+    )
+    from hyrise_generalized_dedup_ray.functions.text import utf8_csr
+
     kind = part.column("kind").to_numpy(zero_copy_only=False)
     mem_idx = np.flatnonzero(kind == 0)
     doc_idx = np.flatnonzero(kind == 1)
@@ -261,6 +295,12 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
     dorder = np.argsort(dids, kind="stable")
     dids_sorted = dids[dorder]
     texts = part.column("text").take(pa.array(doc_idx[dorder]))
+    flat, offs = utf8_csr(texts)
+    lens = np.diff(offs)
+    cnts = np.maximum(lens - min_len + 1, 0)
+    n_docs = len(lens)
+    flat_bytes = flat.tobytes()
+
     dsk = part.column("docset").to_numpy(
         zero_copy_only=False)[mem_idx].astype(np.int64)
     ck = part.column("chunk").to_numpy(
@@ -269,14 +309,73 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         zero_copy_only=False)[mem_idx].astype(np.int64)
     order3, starts, ends = sort_groups((dsk, ck), order_by=(ids,))
     ids_sorted = ids[order3]
-    # each shard doc is decoded + L-gram-hashed ONCE, however many
-    # docset chunks it belongs to (functions.substr.doc_grams)
-    from hyrise_generalized_dedup_ray.functions.substr import doc_grams
 
-    texts_py = [t.encode("utf-8") for t in texts.to_pylist()]
-    gram_cache: list = [False] * len(texts_py)
+    gram_cache: list = [False] * n_docs
+
+    def grams_of(p: int):
+        g = gram_cache[p]
+        if g is False:
+            c = int(cnts[p])
+            if c <= 0:
+                g = None
+            else:
+                h = _gram_hashes_from_u64(
+                    flat[offs[p]: offs[p + 1]].astype(np.uint64), min_len)
+                o = np.argsort(h)  # introsort; any occurrence verifies
+                hs = h[o]
+                keep = np.empty(len(hs), dtype=bool)
+                keep[0] = True
+                np.not_equal(hs[1:], hs[:-1], out=keep[1:])
+                g = (hs[keep], o[keep])
+            gram_cache[p] = g
+        return g
+
+    def text_of(p: int) -> bytes:
+        return flat_bytes[offs[p]: offs[p + 1]]
+
+    decided: dict[int, bool] = {}
     a_out: list[int] = []
     b_out: list[int] = []
+
+    def emit(pi: int, pj: int) -> None:
+        x, y = int(dids_sorted[pi]), int(dids_sorted[pj])
+        a_out.append(min(x, y))
+        b_out.append(max(x, y))
+
+    def decide_pair(pi: int, pj: int) -> bool:
+        """Exact 'share a ≥min_len run?' for two shard docs — gram-set
+        intersection + one byte-verified witness, two-doc suffix array
+        when every common hash is a collision."""
+        gi = grams_of(pi)
+        gj = grams_of(pj)
+        if gi is None or gj is None:
+            return False
+        ui, fi = gi
+        uj, fj = gj
+        if len(ui) <= len(uj):
+            pos = np.searchsorted(uj, ui)
+            pos_c = np.minimum(pos, len(uj) - 1)
+            hit = uj[pos_c] == ui
+            ci = np.flatnonzero(hit)
+            cj = pos_c[ci]
+        else:
+            pos = np.searchsorted(ui, uj)
+            pos_c = np.minimum(pos, len(ui) - 1)
+            hit = ui[pos_c] == uj
+            cj = np.flatnonzero(hit)
+            ci = pos_c[cj]
+        if len(ci) == 0:
+            return False
+        oi = int(offs[pi])
+        oj = int(offs[pj])
+        for p1, p2 in zip(fi[ci], fj[cj]):
+            q1 = oi + int(p1)
+            q2 = oj + int(p2)
+            if flat_bytes[q1:q1 + min_len] == flat_bytes[q2:q2 + min_len]:
+                return True
+        # collisions only — exact two-doc resolution
+        return bool(cross_doc_repeats([text_of(pi), text_of(pj)], min_len))
+
     for s, e in zip(starts, ends):
         if e - s < 2:
             continue
@@ -285,23 +384,34 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         pos_c = np.minimum(pos, len(dids_sorted) - 1)
         ok = dids_sorted[pos_c] == gids
         if not ok.all():
-            gids = gids[ok]
             pos_c = pos_c[ok]
-            if len(gids) < 2:
+            if len(pos_c) < 2:
                 continue
-        idxs = [int(p) for p in pos_c]
-        chunk_texts = [texts_py[p] for p in idxs]
-        grams = []
-        for p in idxs:
-            g = gram_cache[p]
-            if g is False:
-                g = doc_grams(texts_py[p], min_len)
-                gram_cache[p] = g
-            grams.append(g)
-        for ia, ib in cross_doc_repeats(chunk_texts, min_len, grams=grams):
-            x, y = int(gids[ia]), int(gids[ib])
-            a_out.append(min(x, y))
-            b_out.append(max(x, y))
+        idxs = sorted(int(p) for p in pos_c)
+        g = len(idxs)
+        if (g <= PAIRWISE_MAX_GROUP
+                and int(lens[idxs].sum()) <= PAIRWISE_MAX_BYTES):
+            for a_i in range(g):
+                pi = idxs[a_i]
+                for b_i in range(a_i + 1, g):
+                    pj = idxs[b_i]
+                    key = pi * n_docs + pj
+                    v = decided.get(key)
+                    if v is None:
+                        v = decide_pair(pi, pj)
+                        decided[key] = v
+                        if v:
+                            emit(pi, pj)
+            continue
+        # oversized group (> byte bound): suffix array over the chunk,
+        # adjacent-pair subset (connectivity-equivalent), as before
+        chunk_texts = [text_of(p) for p in idxs]
+        for ia, ib in cross_doc_repeats(chunk_texts, min_len):
+            pi, pj = idxs[ia], idxs[ib]
+            key = pi * n_docs + pj
+            if not decided.get(key):
+                decided[key] = True
+                emit(pi, pj)
     return pa.table({
         "a": pa.array(a_out, type=_I64),
         "b": pa.array(b_out, type=_I64),

@@ -132,6 +132,28 @@ def test_gram_hash_equal_windows():
     assert h[0] != h[1]
 
 
+def test_gram_hashes_csr_bit_identical_to_per_doc():
+    from hyrise_generalized_dedup_ray.functions import substr as sub
+
+    rng = np.random.default_rng(7)
+    docs = [bytes(rng.integers(32, 127, size=n, dtype=np.uint8))
+            for n in (0, 3, 49, 50, 51, 400, 5000, 1, 80)]
+    flat = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(d) for d in docs])]).astype(np.int64)
+    # force several chunks to exercise the boundary-aligned splitting
+    old = sub._GRAM_CHUNK_BYTES
+    sub._GRAM_CHUNK_BYTES = 512
+    try:
+        H = sub.gram_hashes_csr(flat, offs, 50)
+    finally:
+        sub._GRAM_CHUNK_BYTES = old
+    for i, d in enumerate(docs):
+        cnt = max(0, len(d) - 50 + 1)
+        got = H[offs[i]: offs[i] + cnt]
+        np.testing.assert_array_equal(got, gram_hashes(d, 50))
+
+
 def test_cross_doc_repeats_finds_and_clamps():
     shared = b"X" * 0 + b"the entire shared verbatim substring is long enough!!"
     assert len(shared) >= 50
