@@ -286,6 +286,43 @@ def dedup_pages_from_path(path: str, **kwargs) -> tuple[Dataset, dict]:
     return dedup_pages(ray.data.read_parquet(path), **kwargs)
 
 
+def _input_parquet_files(path: str) -> list[str]:
+    """Parquet files of an input path, sorted — the per-partition
+    checkpoint unit of the signatures stage.  (At fleet scale a
+    partition would be a row-group bundle; file granularity matches
+    the resumable-output contract of every writer in this engine —
+    one directory of part files per stage.)"""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+    return [path]
+
+
+def _sign_file_part(files: list[str], i: int, *, cfg: SignatureConfig,
+                    eng: EngineConfig):
+    """Extract + sign ONE input parquet file — the ``build_part`` of
+    the signatures stage's per-partition checkpoint.  Batch-for-batch
+    identical to :func:`compute_signatures` over the same file (same
+    extract/sign kernels, same batch size)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyrise_generalized_dedup_ray.stages.signatures import sign_batch
+
+    pf = pq.ParquetFile(files[i])
+    out = []
+    for rb in pf.iter_batches(batch_size=eng.signature_batch_size):
+        t = extract_batch(pa.Table.from_batches([rb]))
+        out.append(sign_batch(t, cfg=cfg))
+    if not out:
+        empty = pf.schema_arrow.empty_table()
+        return sign_batch(extract_batch(empty), cfg=cfg)
+    return pa.concat_tables(out)
+
+
 def run_dedup_checkpointed(
     path: str,
     ckpt_dir: str,
@@ -302,7 +339,10 @@ def run_dedup_checkpointed(
 
     Stages: signatures → edges → labels.
     """
+    import functools
+
     from hyrise_generalized_dedup_ray.state.checkpoint import (
+        checkpoint_partitioned,
         checkpoint_stage,
         input_fingerprint_for_path,
     )
@@ -315,10 +355,17 @@ def run_dedup_checkpointed(
     sig_hash = cfg.signature_hash()
     eng_hash = f"{cfg.config_hash()}-{eng.config_hash()}-p{num_partitions}"
 
-    signatures, resumed_sig = checkpoint_stage(
-        "signatures", ckpt_dir, sig_hash, in_fp,
-        lambda: compute_signatures(ray.data.read_parquet(path), cfg, eng),
+    # the signer is embarrassingly parallel over input files, so it
+    # checkpoints per PARTITION (one part per input parquet file): a
+    # kill at 90% recomputes only the missing 10% on resume
+    sig_files = _input_parquet_files(path)
+    signatures, sig_info = checkpoint_partitioned(
+        "signatures", ckpt_dir, sig_hash, in_fp, len(sig_files),
+        functools.partial(_sign_file_part, sig_files, cfg=cfg, eng=eng),
     )
+    resumed_sig = sig_info["resumed"]
+    metrics["sig_parts_skipped"] = sig_info["parts_skipped"]
+    metrics["sig_parts_built"] = sig_info["parts_built"]
     # pin in the object store: the edge branches' exchanges each pull
     # the signer blocks by ref — unmaterialized, every branch would
     # re-read the checkpoint parquet from storage

@@ -100,6 +100,113 @@ def checkpoint_stage(
     return ray.data.read_parquet(stage_dir), False
 
 
+PENDING = "_pending.json"
+
+
+def _part_name(i: int) -> str:
+    return f"part-{i:05d}.parquet"
+
+
+def checkpoint_partitioned(
+    stage: str,
+    root: str,
+    config_hash: str,
+    input_fingerprint: str,
+    n_partitions: int,
+    build_part: Callable[[int], "object"],
+    *,
+    num_cpus: float = 1.0,
+) -> tuple[Dataset, dict]:
+    """Per-PARTITION resumable stage: returns ``(dataset, info)`` with
+    ``info = {"resumed": bool, "parts_skipped": k, "parts_built": m}``.
+
+    Unlike :func:`checkpoint_stage` (all-or-nothing), a killed run
+    leaves every finished partition behind: partition ``i`` is built by
+    a Ray task running ``build_part(i)`` (must return a pyarrow Table),
+    written to ``part-i.parquet.tmp-<pid>`` and **renamed into place**
+    — the atomic rename is the completion marker, so a crash mid-write
+    can never leave a truncated part that a resume would trust.  On
+    resume, parts already present under a matching ``_pending.json``
+    (same config hash / input fingerprint / partition count) are
+    skipped; only the missing ones recompute.  When the last part
+    lands, the stage manifest is written and the directory renamed,
+    after which :func:`checkpoint_stage` semantics apply.
+
+    At fleet scale the same protocol runs against a shared filesystem
+    or object store (rename → PUT-if-absent); partition granularity is
+    the input shard, so a 90%-done stage redoes 10% of the work.
+    """
+    stage_dir = os.path.join(root, stage)
+    m = load_manifest(stage_dir)
+    if (m and m["config_hash"] == config_hash
+            and m["input_fingerprint"] == input_fingerprint):
+        return ray.data.read_parquet(stage_dir), {
+            "resumed": True, "parts_skipped": n_partitions,
+            "parts_built": 0}
+
+    tmp_dir = stage_dir + ".tmp"
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    pending = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "input_fingerprint": input_fingerprint,
+        "n_partitions": n_partitions,
+    }
+    pending_path = os.path.join(tmp_dir, PENDING)
+    try:
+        with open(pending_path) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        prev = None
+    if prev != pending:
+        # different config/input (or first run): start clean
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        with open(pending_path, "w") as f:
+            json.dump(pending, f)
+
+    done = {
+        f for f in os.listdir(tmp_dir)
+        if f.endswith(".parquet")
+    }
+    missing = [i for i in range(n_partitions) if _part_name(i) not in done]
+
+    @ray.remote(num_cpus=num_cpus)
+    def _build(i: int) -> int:
+        import pyarrow.parquet as pq
+
+        table = build_part(i)
+        tmp = os.path.join(tmp_dir, _part_name(i) + f".tmp-{os.getpid()}")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(tmp_dir, _part_name(i)))
+        return table.num_rows
+
+    ray.get([_build.remote(i) for i in missing])
+
+    files = sorted(
+        f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    rows = ray.data.read_parquet(tmp_dir).count() if files else 0
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "input_fingerprint": input_fingerprint,
+        "rows": rows,
+        "files": files,
+        "n_partitions": n_partitions,
+        "engine_version": ENGINE_VERSION,
+        "written_at": time.time(),
+        "completed": True,
+    }
+    os.remove(pending_path)
+    with open(_manifest_path(tmp_dir), "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(tmp_dir, stage_dir)
+    return ray.data.read_parquet(stage_dir), {
+        "resumed": bool(done),
+        "parts_skipped": n_partitions - len(missing),
+        "parts_built": len(missing)}
+
+
 def input_fingerprint_for_path(path: str) -> str:
     """Cheap, stable fingerprint of a Parquet input: file names + sizes
     + mtimes.  Content hashing 100 TB is not a checkpoint-time option;

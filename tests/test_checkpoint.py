@@ -122,3 +122,62 @@ dd.run_dedup_checkpointed({path!r}, {ckpt!r}, num_partitions=4)
     a = labels.to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = clean.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a["cluster"].tolist() == b["cluster"].tolist()
+
+
+def test_partitioned_checkpoint_resumes_only_missing_parts(
+        ray_session, tmp_path):
+    """Per-PARTITION resume: a run that dies with some parts written
+    recomputes ONLY the missing partitions (VERDICT r3 #8)."""
+    import pyarrow as pa
+
+    from hyrise_generalized_dedup_ray.state.checkpoint import (
+        checkpoint_partitioned)
+
+    root = str(tmp_path / "ckpt")
+    marks = str(tmp_path / "marks")
+    os.makedirs(marks)
+
+    def make_build(tag, fail_part=None):
+        def build(i):
+            if i == fail_part:
+                raise RuntimeError("boom")
+            with open(os.path.join(marks, f"{tag}-{i}-{os.getpid()}"),
+                      "w"):
+                pass
+            return pa.table({"part": [i] * 10,
+                             "v": list(range(i * 10, i * 10 + 10))})
+        return build
+
+    with pytest.raises(Exception):
+        checkpoint_partitioned("sigs", root, "cfg", "in", 6,
+                               make_build("run1", fail_part=3))
+    built1 = {int(f.split("-")[1]) for f in os.listdir(marks)
+              if f.startswith("run1-")}
+    assert 3 not in built1
+    # some parts committed, no manifest yet
+    tmp_dir = os.path.join(root, "sigs.tmp")
+    on_disk = {f for f in os.listdir(tmp_dir) if f.endswith(".parquet")}
+    assert on_disk  # the non-failing parallel parts landed
+
+    ds, info = checkpoint_partitioned("sigs", root, "cfg", "in", 6,
+                                      make_build("run2"))
+    built2 = {int(f.split("-")[1]) for f in os.listdir(marks)
+              if f.startswith("run2-")}
+    # run2 rebuilt exactly the parts run1 did not commit
+    committed1 = {int(f.split("-")[1].split(".")[0]) for f in on_disk}
+    assert built2 == set(range(6)) - committed1
+    assert info["parts_skipped"] == len(committed1)
+    assert info["parts_built"] == 6 - len(committed1)
+    df = ds.to_pandas().sort_values("v").reset_index(drop=True)
+    assert len(df) == 60 and df["v"].tolist() == list(range(60))
+
+    # third run: complete manifest, nothing recomputed
+    ds3, info3 = checkpoint_partitioned("sigs", root, "cfg", "in", 6,
+                                        make_build("run3"))
+    assert info3["resumed"] and info3["parts_built"] == 0
+    assert not any(f.startswith("run3-") for f in os.listdir(marks))
+
+    # config change restarts from scratch (pending mismatch wipes tmp)
+    _, info4 = checkpoint_partitioned("sigs2", root, "cfgX", "in", 2,
+                                      make_build("run4"))
+    assert info4["parts_built"] == 2
