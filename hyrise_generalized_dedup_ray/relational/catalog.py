@@ -53,19 +53,26 @@ def load_tbl(path: str) -> Dataset:
     with open(path) as f:
         names = f.readline().rstrip("\n").split("|")
         raw_types = f.readline().rstrip("\n").split("|")
+        first_row = f.readline().rstrip("\n")
+    # TPC-H-style rows end with a trailing '|' (dbgen output); read the
+    # phantom empty field into a dummy column and drop it after
+    trailing = first_row.endswith("|")
     types, nullable = [], []
     for t in raw_types:
         base, _, suffix = t.partition("_")
         types.append(_TBL_TYPES[base])
         nullable.append(suffix == "null")
     schema = {n: pa.type_for_alias(t) for n, t in zip(names, types)}
+    read_names = names + ["__tbl_trail"] if trailing else names
     ds = ray.data.read_csv(
         path,
-        read_options=pacsv.ReadOptions(column_names=names, skip_rows=2),
+        read_options=pacsv.ReadOptions(column_names=read_names,
+                                       skip_rows=2),
         parse_options=pacsv.ParseOptions(delimiter="|"),
         convert_options=pacsv.ConvertOptions(
             column_types=schema, null_values=["null"],
-            strings_can_be_null=True),
+            strings_can_be_null=True,
+            include_columns=names if trailing else None),
     )
     # the reference treats the literal "null" as NULL only in _null
     # columns — restore it in non-nullable string columns

@@ -247,10 +247,94 @@ def extract(part: str, x) -> Expr:
 
 
 # --- the reference's two FunctionExpressions (function_expression.hpp:8)
-def substr(x, start: int, length: int) -> Expr:
-    """SUBSTR(x, start, length), 1-based like SQL."""
-    s = start - 1
-    return _Kernel(lambda a: pc.utf8_slice_codeunits(a, s, s + length), _wrap(x))
+def substr(x, start, length) -> Expr:
+    """SUBSTR(x, start, length) with FULL SQL semantics — negative /
+    zero / past-end starts, zero / negative lengths, and (reference
+    parity: FunctionExpression takes arbitrary argument expressions,
+    function_expression.hpp:8) ``start``/``length`` may be column
+    expressions, not just constants.
+
+    Virtual-window rule (SQLite/DuckDB agree, verified against both):
+    a negative start counts from the right (pos = n + start + 1), the
+    window [pos, pos+length) is laid over virtual 1-based coordinates
+    and intersected with the string; any NULL argument nulls the row.
+    Byte-based (== character-based on ASCII, the reference test
+    corpus' alphabet)."""
+    if (isinstance(start, int) and isinstance(length, int)
+            and start >= 1 and length >= 0):
+        s = start - 1
+        return _Kernel(
+            lambda a: pc.utf8_slice_codeunits(a, s, s + length), _wrap(x))
+
+    import numpy as np
+
+    def _sub(a, s, L):
+        all_scalar = all(isinstance(v, pa.Scalar) for v in (a, s, L))
+        if isinstance(a, pa.Scalar):
+            # broadcast a literal string to the batch length (or 1 for
+            # an all-literal call, returned as a scalar below)
+            m = next((len(v) for v in (s, L)
+                      if not isinstance(v, pa.Scalar)), 1)
+            a = pa.chunked_array([pa.array([a.as_py()] * m, pa.string())])
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        n = len(a)
+
+        def _ints(v):
+            if isinstance(v, pa.Scalar):
+                py = v.as_py()
+                if py is None:
+                    return None, np.zeros(n, dtype=bool) | True
+                return np.full(n, int(py), dtype=np.int64), \
+                    np.zeros(n, dtype=bool)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            v = pc.cast(v, pa.int64())
+            nulls = pc.is_null(v).to_numpy(zero_copy_only=False)
+            return v.fill_null(0).to_numpy(zero_copy_only=False), nulls
+
+        s_np, s_null = _ints(s)
+        L_np, L_null = _ints(L)
+        a_null = pc.is_null(a).to_numpy(zero_copy_only=False) \
+            if a.null_count else np.zeros(n, dtype=bool)
+        af = pc.fill_null(a, "") if a.null_count else a
+        bufs = af.buffers()
+        off_dt = np.int64 if pa.types.is_large_string(af.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            af.offset: af.offset + n + 1].astype(np.int64)
+        flat = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, dtype=np.uint8)
+        nb = np.diff(offs)
+        if s_np is None:
+            s_np = np.zeros(n, dtype=np.int64)
+        if L_np is None:
+            L_np = np.zeros(n, dtype=np.int64)
+        pos = np.where(s_np < 0, nb + s_np + 1, s_np)
+        b0 = pos - 1
+        e0 = b0 + L_np
+        b = np.clip(b0, 0, nb)
+        e = np.clip(e0, 0, nb)
+        e = np.maximum(e, b)
+        out_len = e - b
+        null_mask = a_null | s_null | L_null
+        out_len = np.where(null_mask, 0, out_len)
+        new_offs = np.concatenate([[0], np.cumsum(out_len)])
+        total = int(new_offs[-1])
+        src_start = offs[:-1] + b
+        excl = new_offs[:-1]
+        idx = np.arange(total, dtype=np.int64) + np.repeat(
+            src_start - excl, out_len)
+        data = flat[idx] if total else np.empty(0, dtype=np.uint8)
+        validity = None
+        if null_mask.any():
+            validity = pa.array(~null_mask).buffers()[1]
+        out = pa.StringArray.from_buffers(
+            n, pa.py_buffer(new_offs.astype(np.int32).tobytes()),
+            pa.py_buffer(data.tobytes()), validity,
+            int(null_mask.sum()))
+        return out[0] if all_scalar else out
+
+    return _Kernel(_sub, _wrap(x), _wrap(start), _wrap(length))
 
 
 def concat(*xs) -> Expr:

@@ -703,6 +703,44 @@ def anti_join(left: Dataset, right: pa.Table | Dataset, on: Sequence[str],
     return _semi_anti(left, right, on, right_on, "anti")
 
 
+def _row_identity(ds: Dataset, cols: Sequence[str],
+                  name: str = "_rid") -> Dataset:
+    """Append a NULL-SAFE full-row identity string column: two rows get
+    the same identity iff they agree on ``cols`` treating NULL as a
+    comparable value (unlike SQL equality).  Duplicate rows share an
+    identity by design — identical rows have identical join outcomes,
+    so identity-level match status is row-level match status."""
+    cols = list(cols)
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(name, _key_hash(batch, cols))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _null_extend_unmatched(
+    left: Dataset, inner: Dataset, extend_fields: list[tuple[str, pa.DataType]],
+) -> Dataset:
+    """LEFT-OUTER tail for composed joins: left rows with NO row in
+    ``inner`` (matched on null-safe full-row identity) get the right
+    side's columns appended as typed nulls.  Multiset-correct: every
+    copy of an unmatched left row extends; matched copies are all
+    represented in ``inner`` already (each copy joined)."""
+    lnames = left.schema().names
+    lk = _row_identity(left, lnames)
+    mk = _row_identity(distinct(inner, lnames), lnames)
+    unmatched = anti_join(lk, mk.select_columns(["_rid"]), ["_rid"]) \
+        .drop_columns(["_rid"])
+
+    def extend(batch: pa.Table) -> pa.Table:
+        for n, t in extend_fields:
+            batch = batch.append_column(n, pa.nulls(len(batch), t))
+        return batch
+
+    return unmatched.map_batches(extend, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
 def multi_predicate_join(
     left: Dataset, right: Dataset, on: Sequence[str],
     right_on: Sequence[str] | None, residual,
@@ -711,9 +749,24 @@ def multi_predicate_join(
     """Equality join + secondary predicates — the reference evaluates
     extra predicates during the probe (multi_predicate_join_evaluator.cpp);
     ours composes hash_join with a residual table_scan, which Ray fuses
-    into the join's output stage (same I/O, same result)."""
-    joined = hash_join(left, right, on, right_on, how, num_partitions)
-    return table_scan(joined, residual)
+    into the join's output stage (same I/O, same result).
+
+    ``how='left_outer'``: SQL compound-ON semantics — a left row whose
+    matches ALL fail the residual is null-extended, not dropped (a
+    plain filter over a left join would wrongly drop it), via an
+    inner pass + null-safe row-identity anti tail."""
+    inner = table_scan(
+        hash_join(left, right, on, right_on, "inner", num_partitions),
+        residual)
+    if how == "inner":
+        return inner
+    if how not in ("left", "left_outer"):
+        raise NotImplementedError(f"multi_predicate_join how={how}")
+    rs = right.schema()
+    keys = set(right_on if right_on is not None else on)
+    ext = [(n, rs.types[i]) for i, n in enumerate(rs.names)
+           if n not in keys]
+    return union_all(inner, _null_extend_unmatched(left, inner, ext))
 
 
 def band_join(
