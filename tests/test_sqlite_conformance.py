@@ -38,9 +38,14 @@ TABLES = {
     "iii50": f"{TBL}/id_int_int_int_50.tbl",
     "iii100": f"{TBL}/id_int_int_int_100.tbl",
     "int_date": f"{TBL}/int_date.tbl",
+    # the testrunner's TPC-H side table (sqlite_testrunner.cpp loads
+    # tpch_customer for its join/group tranches)
+    "customer": ("/root/reference/resources/test_data/tbl/tpch/"
+                 "sf-0.001/customer.tbl"),
 }
 # names as they appear in the reference's SQL statements
-SQL_NAMES = {"iii50": "id_int_int_int_50", "iii100": "id_int_int_int_100"}
+SQL_NAMES = {"iii50": "id_int_int_int_50", "iii100": "id_int_int_int_100",
+             "customer": "tpch_customer"}
 
 
 @pytest.fixture(scope="module")
@@ -776,6 +781,409 @@ CASES = [
                              "z3": R.mod(L(50), c("id"))}),
      "SELECT 2 % NULLIF(0, 0) AS z1, b % NULLIF(0, 0) AS z2, "
      "50 % id AS z3 FROM mixed"),
+    # ================================================================
+    # Round-4 tranche: SUBSTR / LIKE / EXISTS forms / IN-subquery
+    # (incl. correlated) / join chains / aggregates-over-joins /
+    # DISTINCT-aggregate / ORDER BY aggregate / CASE / COUNT variants
+    # (sqlite_testrunner_queries.sql:34-451)
+    # ================================================================
+    # -- SUBSTR (queries.sql:436-442) --------------------------------
+    ("substr_scalar_edges",
+     lambda T: R.projection(
+         R.limit(mk(T, "mixed"), 1),
+         {"s1": R.substr(L("HELLO"), 2, 3),
+          "s2": R.substr(L("HELLO"), L(-4), L(3)),
+          "s3": R.substr(L("HELLO"), L(-4), L(0)),
+          "s4": R.substr(L("migz"), L(-18), L(19)),
+          "s5": R.substr(L("HELLO"), L(5000), L(20))}),
+     "SELECT SUBSTR('HELLO', 2, 3) AS s1, SUBSTR('HELLO', -4, 3) AS s2,"
+     " SUBSTR('HELLO', -4, 0) AS s3, SUBSTR('migz', -18, 19) AS s4,"
+     " SUBSTR('HELLO', 5000, 20) AS s5"),
+    ("substr_dynamic_start_len",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"id": c("id"),
+                             "s": R.substr(c("d"), c("id") - L(10),
+                                           c("b"))}),
+     "SELECT id, SUBSTR(d, id - 10, b) AS s FROM mixed"),
+    ("substr_null_args",
+     lambda T: R.projection(mk(T, "mixed_null"),
+                            {"a": c("a"),
+                             "s": R.substr(c("d"), c("b") / L(10),
+                                           c("b") / L(20))}),
+     "SELECT a, SUBSTR(d, b // 10, b // 20) AS s FROM mixed_null"),
+    # -- LIKE family (queries.sql:444-451) ---------------------------
+    ("like_multi_wild",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "%a%b%")),
+     "SELECT * FROM mixed WHERE d LIKE '%a%b%'"),
+    ("not_like_exact",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.like(c("d"), "ldggoca", negate=True)),
+     "SELECT * FROM mixed WHERE d NOT LIKE 'ldggoca'"),
+    ("like_underscore_mix",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "%y__%g_%")),
+     "SELECT * FROM mixed WHERE d LIKE '%y__%g_%'"),
+    ("like_or_compound",
+     lambda T: R.table_scan(
+         mk(T, "mixed"),
+         R.like(c("d"), "%y__%g_%") |
+         ((c("id") > L(50)) & R.like(c("a"), "%a%"))),
+     "SELECT * FROM mixed WHERE d LIKE '%y__%g_%' "
+     "OR (id > 50 AND a LIKE '%a%')"),
+    ("case_with_like",
+     lambda T: R.projection(
+         mk(T, "mixed"),
+         {"cc": R.case((R.like(c("d"), "%ab%"), L("contains AB")),
+                       (R.like(c("d"), "%x%", negate=True),
+                        L("doesnt contain x")),
+                       else_=c("a"))}),
+     "SELECT CASE WHEN d LIKE '%ab%' THEN 'contains AB' WHEN d NOT "
+     "LIKE '%x%' THEN 'doesnt contain x' ELSE a END AS cc FROM mixed"),
+    ("like_prefix",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "a%")),
+     "SELECT * FROM mixed WHERE d LIKE 'a%'"),
+    ("not_like_prefix",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.like(c("d"), "a%", negate=True)),
+     "SELECT * FROM mixed WHERE d NOT LIKE 'a%'"),
+    ("like_match_all",
+     lambda T: R.table_scan(mk(T, "mixed"), R.like(c("d"), "%")),
+     "SELECT * FROM mixed WHERE d LIKE '%'"),
+    # -- EXISTS forms (queries.sql:454-471) --------------------------
+    ("exists_const_table",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "iii100"), [], {"n": R.agg("count_star")}),
+         {"some_exists": c("n") > L(0)}),
+     "SELECT EXISTS(SELECT * FROM id_int_int_int_100) AS some_exists"),
+    ("not_exists_const_table",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "iii100"), [], {"n": R.agg("count_star")}),
+         {"some_exists": c("n") == L(0)}),
+     "SELECT NOT EXISTS(SELECT * FROM id_int_int_int_100) "
+     "AS some_exists"),
+    ("exists_corr_computed_key",
+     lambda T: R.projection(
+         R.exists_join(
+             R.projection(mk(T, "mixed"),
+                          {"id": c("id"), "a": c("a"), "b": c("b"),
+                           "c": c("c"), "d": c("d"),
+                           "k": c("id") * L(10)}),
+             mk(T, "mixed"), on=["k"], right_on=["id"]),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c"),
+          "d": c("d")}),
+     "SELECT * FROM mixed AS outer_mixed WHERE EXISTS(SELECT * FROM "
+     "mixed AS inner_mixed WHERE inner_mixed.id = outer_mixed.id * 10)"),
+    ("exists_corr_mixed_b",
+     lambda T: R.exists_join(mk(T, "mixed"), mk(T, "iii100"),
+                             on=["b"], right_on=["b"]),
+     "SELECT * FROM mixed WHERE EXISTS (SELECT id_int_int_int_100.a "
+     "FROM id_int_int_int_100 WHERE id_int_int_int_100.b = mixed.b)"),
+    ("not_exists_corr_mixed_b",
+     lambda T: R.exists_join(mk(T, "mixed"), mk(T, "iii100"),
+                             on=["b"], right_on=["b"], negate=True),
+     "SELECT * FROM mixed WHERE NOT EXISTS (SELECT "
+     "id_int_int_int_100.a FROM id_int_int_int_100 WHERE "
+     "id_int_int_int_100.b = mixed.b)"),
+    # correlated inequality EXISTS → scalar-subquery rewrite
+    # (the engine's SubqueryToJoin analog for s.b < r.b: min(s.b) < r.b)
+    ("exists_corr_lt",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         c("b") > L(int(_scalar(
+             R.aggregate(mk(T, "iii50"), [], {"m": R.agg("min", "b")}),
+             "m")))),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE EXISTS (SELECT s.a "
+     "FROM id_int_int_int_50 AS s WHERE s.b < r.b)"),
+    ("not_exists_corr_lt",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         c("b") <= L(int(_scalar(
+             R.aggregate(mk(T, "iii50"), [], {"m": R.agg("min", "b")}),
+             "m")))),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE NOT EXISTS (SELECT "
+     "a FROM id_int_int_int_50 AS s WHERE s.b < r.b)"),
+    ("exists_corr_eq_and_lt",
+     lambda T: R.distinct(
+         R.multi_predicate_join(
+             mk(T, "iii100"),
+             R.projection(mk(T, "iii50"), {"b2": c("b"), "c2": c("c")}),
+             on=["b"], right_on=["b2"],
+             residual=c("c2") < c("c")),
+         ["id", "a", "b", "c"]),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE EXISTS (SELECT s.a "
+     "FROM id_int_int_int_50 AS s WHERE s.b = r.b AND s.c < r.c)"),
+    # -- IN (value lists / subqueries, incl. correlated) -------------
+    ("in_value_list",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            R.in_(c("a"), [24, 55, 78])),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (24, 55, 78)"),
+    ("in_expression_list",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         (c("a") == c("b") - L(48)) | (c("a") == c("b") + L(1))),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (b - 48, b + 1)"),
+    ("in_subquery_b",
+     lambda T: R.semi_join(mk(T, "iii100"),
+                           R.projection(mk(T, "mixed"), {"b": c("b")}),
+                           on=["a"], right_on=["b"]),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (SELECT b FROM "
+     "mixed)"),
+    ("in_subquery_computed",
+     lambda T: R.projection(
+         R.semi_join(
+             R.projection(mk(T, "iii100"),
+                          {"id": c("id"), "a": c("a"), "b": c("b"),
+                           "c": c("c"), "k": c("a") * L(10)}),
+             R.projection(mk(T, "mixed"), {"mb": c("b")}),
+             on=["k"], right_on=["mb"]),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")}),
+     "SELECT * FROM id_int_int_int_100 WHERE a * 10 IN (SELECT b FROM "
+     "mixed)"),
+    ("not_in_subquery_computed",
+     lambda T: R.projection(
+         R.anti_join(
+             R.projection(mk(T, "iii100"),
+                          {"id": c("id"), "a": c("a"), "b": c("b"),
+                           "c": c("c"), "k": c("a") * L(10)}),
+             R.projection(mk(T, "mixed"), {"mb": c("b")}),
+             on=["k"], right_on=["mb"]),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")}),
+     "SELECT * FROM id_int_int_int_100 WHERE a * 10 NOT IN (SELECT b "
+     "FROM mixed)"),
+    ("in_subquery_corr_eq",
+     lambda T: R.semi_join(mk(T, "iii100"), mk(T, "iii50"),
+                           on=["a", "b"], right_on=["a", "b"]),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE a IN (SELECT s.a "
+     "FROM id_int_int_int_50 AS s WHERE s.b = r.b)"),
+    ("not_in_subquery_corr_eq",
+     lambda T: R.anti_join(mk(T, "iii100"), mk(T, "iii50"),
+                           on=["a", "b"], right_on=["a", "b"]),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE a NOT IN (SELECT a "
+     "FROM id_int_int_int_50 AS s WHERE s.b = r.b)"),
+    ("in_subquery_corr_lt",
+     lambda T: R.distinct(
+         R.multi_predicate_join(
+             mk(T, "iii100"),
+             R.projection(mk(T, "iii50"), {"a2": c("a"), "b2": c("b")}),
+             on=["a"], right_on=["a2"],
+             residual=c("b2") < c("b")),
+         ["id", "a", "b", "c"]),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE a IN (SELECT s.a "
+     "FROM id_int_int_int_50 AS s WHERE s.b < r.b)"),
+    ("in_subquery_corr_eq_and_lt",
+     lambda T: R.distinct(
+         R.multi_predicate_join(
+             mk(T, "iii100"),
+             R.projection(mk(T, "iii50"),
+                          {"a2": c("a"), "b2": c("b"), "c2": c("c")}),
+             on=["a", "b"], right_on=["a2", "b2"],
+             residual=c("c2") < c("c")),
+         ["id", "a", "b", "c"]),
+     "SELECT * FROM id_int_int_int_100 AS r WHERE a IN (SELECT s.a "
+     "FROM id_int_int_int_50 AS s WHERE s.b = r.b AND s.c < r.c)"),
+    ("in_subquery_nested",
+     lambda T: R.semi_join(
+         mk(T, "iii100"),
+         R.semi_join(mk(T, "iii50"),
+                     R.projection(mk(T, "mixed"), {"mb": c("b")}),
+                     on=["a"], right_on=["mb"]),
+         on=["a"], right_on=["a"]),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (SELECT a FROM "
+     "id_int_int_int_50 WHERE a IN (SELECT b FROM mixed))"),
+    # -- join chains (queries.sql:211-225) ---------------------------
+    ("join_chain_three",
+     lambda T: R.hash_join(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"a1": c("a"), "b1": c("b")}),
+             R.projection(mk(T, "mixed_null"),
+                          {"b2": c("b"), "k2": c("b")}),
+             on=["b1"], right_on=["k2"]),
+         R.projection(mk(T, "iii100"), {"a3": c("a"), "k3": c("a")}),
+         on=["b1"], right_on=["k3"]),
+     "SELECT t1.a AS a1, t1.b AS b1, t2.b AS b2, t3.a AS a3 FROM "
+     "mixed AS t1 INNER JOIN mixed_null AS t2 ON t1.b = t2.b INNER "
+     "JOIN id_int_int_int_100 AS t3 ON t1.b = t3.a"),
+    ("join_chain_four_customer",
+     lambda T: R.hash_join(
+         R.hash_join(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"),
+                              {"id1": c("id"), "a1": c("a")}),
+                 R.projection(mk(T, "mixed_null"),
+                              {"b2": c("b"), "k2": c("b")}),
+                 on=["id1"], right_on=["k2"]),
+             R.projection(mk(T, "iii100"), {"b3": c("b"), "k3": c("b")}),
+             on=["id1"], right_on=["k3"]),
+         R.projection(mk(T, "customer"),
+                      {"c_name": c("c_name"), "k4": c("c_custkey")}),
+         on=["id1"], right_on=["k4"]),
+     "SELECT t1.id AS id1, t1.a AS a1, t2.b AS b2, t3.b AS b3, "
+     "t4.c_name FROM mixed AS t1 INNER JOIN mixed_null AS t2 ON "
+     "t1.id = t2.b INNER JOIN id_int_int_int_100 AS t3 ON t1.id = "
+     "t3.b INNER JOIN tpch_customer AS t4 ON t1.id = t4.c_custkey"),
+    ("join_subqueries_const_where",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "iii50"), {"lid": c("id"), "la": c("a")}),
+         R.projection(mk(T, "iii50"), {"rid": c("id"), "ra": c("a")}),
+         on=["la"], right_on=["ra"]),
+     "SELECT L.id AS lid, L.a AS la, R.id AS rid FROM (SELECT * FROM "
+     "id_int_int_int_50 WHERE a < 1 OR 3 > 2) AS L JOIN (SELECT * "
+     "FROM id_int_int_int_50 WHERE a < 10 OR 30 > 20) AS R ON "
+     "L.a = R.a"),
+    ("join_cross_or_subqueries",
+     lambda T: (lambda r_side, s_side: R.projection(
+         R.hash_join(r_side, s_side, on=["ra"], right_on=["sb"]),
+         {"ra": c("ra"), "sb": c("ra")}))(
+         R.projection(R.theta_join(
+             R.projection(mk(T, "iii100"), {"ra": c("a"), "rb": c("b")}),
+             pa.table({"mb": T["mixed"].column("b"),
+                       "mc": T["mixed"].column("c")}),
+             (c("ra") == c("mb")) | (c("rb") == c("mc"))),
+             {"ra": c("ra")}),
+         R.projection(R.theta_join(
+             R.projection(mk(T, "iii100"), {"sa": c("a"), "sb": c("b")}),
+             pa.table({"mb": T["mixed"].column("b"),
+                       "mc": T["mixed"].column("c")}),
+             (c("sa") == c("mb")) | (c("sb") == c("mc"))),
+             {"sb": c("sb")})),
+     "SELECT r.ra AS ra, s.sb AS sb FROM (SELECT a.a AS ra FROM "
+     "id_int_int_int_100 AS a, mixed AS b WHERE a.a = b.b OR a.b = "
+     "b.c) r JOIN (SELECT a.b AS sb FROM id_int_int_int_100 AS a, "
+     "mixed AS b WHERE a.a = b.b OR a.b = b.c) s ON r.ra = s.sb"),
+    # -- aggregates over joins + HAVING (queries.sql:261-262) --------
+    ("agg_over_join_having",
+     lambda T: R.table_scan(
+         R.aggregate(
+             R.hash_join(
+                 R.projection(mk(T, "customer"),
+                              {"c_custkey": c("c_custkey"),
+                               "c_name": c("c_name")}),
+                 R.projection(mk(T, "iii100"),
+                              {"aj": c("a"), "k": c("a")}),
+                 on=["c_custkey"], right_on=["k"]),
+             ["c_custkey", "c_name"], {"cnt": R.agg("count", "aj")}),
+         c("cnt") >= L(2)),
+     "SELECT c_custkey, c_name, COUNT(a) AS cnt FROM tpch_customer "
+     "JOIN id_int_int_int_100 ON c_custkey = a GROUP BY c_custkey, "
+     "c_name HAVING COUNT(a) >= 2"),
+    ("agg_over_join_subquery_having",
+     lambda T: R.table_scan(
+         R.aggregate(
+             R.hash_join(
+                 R.projection(mk(T, "customer"),
+                              {"c_custkey": c("c_custkey"),
+                               "c_name": c("c_name")}),
+                 R.projection(
+                     R.hash_join(mk(T, "iii100"),
+                                 R.projection(mk(T, "mixed"),
+                                              {"mid": c("id")}),
+                                 on=["a"], right_on=["mid"]),
+                     {"aj": c("a"), "k": c("a")}),
+                 on=["c_custkey"], right_on=["k"]),
+             ["c_custkey", "c_name"], {"cnt": R.agg("count", "aj")}),
+         c("cnt") >= L(2)),
+     "SELECT c_custkey, c_name, COUNT(sub.a) AS cnt FROM tpch_customer"
+     " JOIN ( SELECT id_int_int_int_100.* FROM id_int_int_int_100 "
+     "JOIN mixed ON id_int_int_int_100.a = mixed.id ) AS sub ON "
+     "tpch_customer.c_custkey = sub.a GROUP BY c_custkey, c_name "
+     "HAVING COUNT(sub.a) >= 2"),
+    # -- DISTINCT × aggregate (queries.sql:254-258) ------------------
+    ("distinct_group_key",
+     lambda T: R.distinct(mk(T, "mixed"), ["a"]),
+     "SELECT DISTINCT a FROM mixed GROUP BY a"),
+    ("distinct_key_and_min",
+     lambda T: R.distinct(
+         R.aggregate(mk(T, "mixed"), ["a"], {"m": R.agg("min", "b")}),
+         ["a", "m"]),
+     "SELECT DISTINCT a, MIN(b) AS m FROM mixed GROUP BY a"),
+    ("distinct_min_only",
+     lambda T: R.distinct(
+         R.projection(
+             R.aggregate(mk(T, "mixed"), ["a"],
+                         {"m": R.agg("min", "b")}), {"m": c("m")}),
+         ["m"]),
+     "SELECT DISTINCT MIN(b) AS m FROM mixed GROUP BY a"),
+    # -- ORDER BY aggregate (queries.sql:269,295) --------------------
+    ("order_by_key_desc_counts",
+     lambda T: R.sort(
+         R.aggregate(mk(T, "mixed"), ["a"], {"n": R.agg("count_star")}),
+         ["a"], descending=True, nulls_first=False),
+     "SELECT a, COUNT(*) AS n FROM mixed GROUP BY a ORDER BY a DESC",
+     True),
+    ("order_by_max_then_key_desc",
+     lambda T: R.sort(
+         R.aggregate(mk(T, "mixed_null"), ["a"],
+                     {"m": R.agg("max", "b")}),
+         ["m", "a"], descending=[False, True], nulls_first=False),
+     "SELECT a, MAX(b) AS m FROM mixed_null GROUP BY a ORDER BY "
+     "MAX(b), a DESC", True),
+    # -- CASE (queries.sql:415-418) ----------------------------------
+    ("case_searched_strings",
+     lambda T: R.projection(
+         mk(T, "mixed"),
+         {"case_column": R.case((c("id") < L(50), L("Hello")),
+                                (c("id") < L(70), L("World")),
+                                else_=L("Ciao"))}),
+     "SELECT CASE WHEN id < 50 THEN 'Hello' WHEN id < 70 THEN 'World' "
+     "ELSE 'Ciao' END AS case_column FROM mixed"),
+    ("case_float_cond",
+     lambda T: R.projection(
+         mk(T, "mixed"),
+         {"case_column": R.case((c("id") + L(3.4) < L(50), L("Hello")),
+                                (c("id") < L(70), L("World")),
+                                else_=L("Ciao"))}),
+     "SELECT CASE WHEN id + 3.4 < 50 THEN 'Hello' WHEN id < 70 THEN "
+     "'World' ELSE 'Ciao' END AS case_column FROM mixed"),
+    ("case_base_expression",
+     lambda T: R.projection(
+         mk(T, "mixed"),
+         {"case_column": R.case(
+             (c("id") + L(10) == L(15), c("a")),
+             (c("id") + L(10) == L(26), L("World")),
+             else_=c("d"))}),
+     "SELECT CASE id + 10 WHEN 15 THEN a WHEN 26 THEN 'World' ELSE d "
+     "END AS case_column FROM mixed"),
+    ("case_is_null_over_group",
+     lambda T: R.projection(
+         R.distinct(mk(T, "mixed_null"), ["a"]),
+         {"a": c("a"),
+          "x": R.case((R.is_null(c("a")), L(1)), else_=L(2))}),
+     "SELECT a, CASE WHEN a IS NULL THEN 1 ELSE 2 END AS x FROM "
+     "mixed_null GROUP BY a"),
+    # -- COUNT variants (queries.sql:132,284,285) --------------------
+    ("count_star_triple",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), ["a"],
+                     {"cnt1": R.agg("count_star"),
+                      "cnt2": R.agg("count_star"),
+                      "cnt3": R.agg("count_star")}),
+         {"cnt1": c("cnt1"), "cnt2": c("cnt2"), "cnt3": c("cnt3")}),
+     "SELECT COUNT(*) AS cnt1, COUNT(*) AS cnt2, COUNT(*) AS cnt3 "
+     "FROM mixed GROUP BY a"),
+    ("count_one",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a"],
+                           {"n": R.agg("count_star")}),
+     "SELECT a, COUNT(1) AS n FROM mixed GROUP BY a"),
+    ("group_by_expr_count_expr",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed"),
+                      {"g": c("b") + L(1), "c1": c("c") + L(1)}),
+         ["g"], {"n": R.agg("count", "c1")}),
+     "SELECT b + 1 AS g, COUNT(c + 1) AS n FROM mixed GROUP BY b + 1"),
+    # -- scalar subqueries in predicates (queries.sql:35,391) --------
+    ("scalar_subquery_arith_preds",
+     lambda T: R.table_scan(
+         mk(T, "mixed"),
+         (c("id") == L(15)) & (c("b") > L(17)) & (c("b") < L(101))),
+     "SELECT * FROM mixed WHERE id IN (SELECT 14 + 1) AND b > "
+     "(SELECT 15 + 2) AND b < (SELECT 98 + 3)"),
+    ("scalar_subquery_max_div",
+     lambda T: (lambda v: R.projection(R.table_scan(
+         mk(T, "iii100"), (c("a") == L(v)) & (c("b") > L(v))),
+         {"a": c("a")}))(
+         _scalar(R.aggregate(mk(T, "mixed"), [],
+                             {"m": R.agg("max", "id")}), "m") / 9),
+     "SELECT a FROM id_int_int_int_100 WHERE a IN (SELECT MAX(id) / 9 "
+     "FROM mixed) AND b > (SELECT MAX(id) / 9 FROM mixed)"),
 ]
 
 
