@@ -181,7 +181,19 @@ def checkpoint_partitioned(
         os.rename(tmp, os.path.join(tmp_dir, _part_name(i)))
         return table.num_rows
 
-    ray.get([_build.remote(i) for i in missing])
+    refs = [_build.remote(i) for i in missing]
+    try:
+        ray.get(refs)
+    except Exception:
+        # Quiesce before surfacing the failure: sibling builds keep
+        # running after the first error, and their rename-into-place
+        # commits would otherwise race any caller that inspects (or
+        # retries over) tmp_dir right after catching.  Completed parts
+        # stay committed — only in-flight work is interrupted.
+        for r in refs:
+            ray.cancel(r, force=False)
+        ray.wait(refs, num_returns=len(refs), timeout=60)
+        raise
 
     files = sorted(
         f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
