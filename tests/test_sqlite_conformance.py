@@ -30,6 +30,7 @@ import pytest
 import ray
 
 from hyrise_generalized_dedup_ray import relational as R
+from hyrise_generalized_dedup_ray.relational import writeops as W
 
 TBL = "/root/reference/resources/test_data/tbl/sqlite"
 TABLES = {
@@ -107,6 +108,77 @@ c, L = R.col, R.lit
 
 def _scalar(ds, colname):
     return ds.to_pandas()[colname].iloc[0]
+
+
+def _one():
+    """One anonymous row — the engine's stand-in for a no-FROM SELECT
+    (the reference plans those as a DummyTableNode,
+    src/lib/logical_query_plan/dummy_table_node.hpp)."""
+    return ray.data.from_arrow(pa.table({"one": [1]}))
+
+
+def _full_if_empty(probe, full):
+    """NOT EXISTS (<subquery with NULL comparison>) wrapper: the probe
+    scan must come back empty for the outer query to keep every row
+    (sqlite_testrunner_queries.sql:49-57)."""
+    return full if probe.count() == 0 else full.limit(0)
+
+
+def _dml_root():
+    import tempfile
+    return tempfile.mkdtemp(prefix="hgd_conf_dml_", dir="/tmp")
+
+
+# -- DML builders (queries.sql:317-343: DELETE / UPDATE / INSERT each
+# followed by SELECT *): engine side runs on the snapshot-versioned
+# write path (relational/writeops.py), oracle side replays the same
+# statements on a DuckDB scratch table.
+def _dml_delete_simple(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.delete_where(root, "t", c("id") > L(75))
+    return W.read_table(root, "t")
+
+
+def _dml_delete_or(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.delete_where(root, "t", (c("a") > L(40)) | (c("b") < L(20)))
+    return W.read_table(root, "t")
+
+
+def _dml_update_where(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", c("id") > L(10), {"a": c("a") + L(1)})
+    return W.read_table(root, "t")
+
+
+def _dml_update_swap(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", c("id") > L(20),
+                   {"id": c("a"), "a": c("b"), "b": c("c"), "c": c("id")})
+    return W.read_table(root, "t")
+
+
+def _dml_insert_values(T):
+    root = _dml_root()
+    tab = T["iii100"]
+    W.create_table(root, "t", tab)
+    row = pa.table({"id": [100], "a": [1], "b": [2], "c": [3]}).cast(
+        tab.schema)
+    W.insert_into(root, "t", row)
+    return W.read_table(root, "t")
+
+
+def _dml_insert_select(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.insert_into(root, "t",
+                  R.table_scan(ray.data.from_arrow(T["iii50"]),
+                               c("b") < L(50)))
+    return W.read_table(root, "t")
 
 
 # --------------------------------------------------------------------
@@ -1184,6 +1256,336 @@ CASES = [
                              {"m": R.agg("max", "id")}), "m") / 9),
      "SELECT a FROM id_int_int_int_100 WHERE a IN (SELECT MAX(id) / 9 "
      "FROM mixed) AND b > (SELECT MAX(id) / 9 FROM mixed)"),
+    # ================================================================
+    # Tranche 5 — remaining statement families of the reference runner
+    # ================================================================
+    # -- no-FROM scalar selects (queries.sql:10-13) -------------------
+    ("sel_const_one",
+     lambda T: R.projection(_one(), {"x": L(1)}),
+     "SELECT 1 AS x"),
+    ("sel_const_negative",
+     lambda T: R.projection(_one(), {"negative": L(-1)}),
+     "SELECT -1 AS negative"),
+    ("sel_const_arith",
+     lambda T: R.projection(
+         _one(), {"some_arithmetics": (L(1) + L(3.0)) * L(13.0)}),
+     "SELECT (1 + 3.0) * 13.0 AS some_arithmetics"),
+    ("sel_const_int_div",
+     lambda T: R.projection(_one(), {"col": L(22) / L(5)}),
+     "SELECT 22 // 5 AS col"),
+    # -- NULL-comparison scans under NOT EXISTS (queries.sql:49-57) ---
+    ("null_cmp_gt_not_exists",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"), c("id") > L(None)), mk(T, "mixed")),
+     "SELECT * FROM mixed WHERE NOT EXISTS "
+     "(SELECT * FROM mixed WHERE id > NULL)"),
+    ("null_cmp_between_not_exists",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"),
+                      R.between(c("d"), L(None), L(None))),
+         mk(T, "mixed")),
+     "SELECT * FROM mixed WHERE NOT EXISTS "
+     "(SELECT * FROM mixed WHERE d BETWEEN NULL AND NULL)"),
+    ("null_cmp_between_half_not_exists",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"), R.between(c("d"), L(""), L(None))),
+         mk(T, "mixed")),
+     "SELECT * FROM mixed WHERE NOT EXISTS "
+     "(SELECT * FROM mixed WHERE d BETWEEN '' AND NULL)"),
+    # -- column-free predicates (queries.sql:66-69) -------------------
+    ("scan_const_or_compound",
+     lambda T: mk(T, "mixed_null"),
+     "SELECT * FROM mixed_null WHERE (4 > 3 AND 2 < 1) OR 4 < 5"),
+    ("scan_const_in_list_true",
+     lambda T: mk(T, "mixed_null"),
+     "SELECT * FROM mixed_null WHERE 50 IN (51, 52, 50)"),
+    # -- BETWEEN-rewrite shapes (queries.sql:72-83) -------------------
+    ("between_rewrite_closed",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            R.between(c("a"), L(20), L(90))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 90"),
+    ("between_rewrite_open_left",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            R.between(c("a"), L(20), L(91), "(]")),
+     "SELECT * FROM id_int_int_int_100 WHERE a > 20 AND a <= 91"),
+    ("between_rewrite_open_right",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            R.between(c("a"), L(20), L(91), "[)")),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a < 91"),
+    ("between_rewrite_reversed_lits",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            (L(91) > c("a")) & (L(20) <= c("a"))),
+     "SELECT * FROM id_int_int_int_100 WHERE 91 > a AND 20 <= a"),
+    # -- non-scalar BETWEEN (queries.sql:86-88) -----------------------
+    ("between_value_col_bounds",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(L(10), c("b"), L(40))),
+     "SELECT * FROM mixed WHERE 10 BETWEEN b AND 40"),
+    ("between_col_col_bound",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("c"), c("b"), L(100))),
+     "SELECT * FROM mixed WHERE c BETWEEN b AND 100"),
+    ("between_expr_operand",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("b") + L(10), c("b"), c("c"))),
+     "SELECT * FROM mixed WHERE b + 10 BETWEEN b AND c"),
+    # -- predicate pruning / split-up (queries.sql:91-92) -------------
+    ("scan_pruning_or_ranges",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         R.between(c("a"), L(20), L(40)) | R.between(c("b"), L(50), L(95))),
+     "SELECT * FROM id_int_int_int_100 WHERE "
+     "a >= 20 AND a <= 40 OR b >= 50 AND b <= 95"),
+    ("scan_pred_chain_eight",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         R.between(c("a"), L(21), L(40)) & (c("c") <= L(35)) &
+         R.between(c("b"), L(49), L(95)) &
+         R.between(c("c"), L(23), L(40))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 40 AND "
+     "c <= 35 AND b >= 49 AND a >= 21 AND b <= 95 AND c <= 40 AND "
+     "c >= 23"),
+    # -- alias forms (queries.sql:121-137) ----------------------------
+    ("alias_group_by_alias",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed"), {"x": c("a"), "b": c("b")}),
+         ["x"], {"s": R.agg("sum", "b")}),
+     "SELECT a AS x, SUM(b) AS s FROM mixed GROUP BY x"),
+    ("alias_having_alias_key",
+     lambda T: R.table_scan(
+         R.aggregate(
+             R.projection(mk(T, "iii100"), {"x": c("a"), "b": c("b")}),
+             ["x"], {"s": R.agg("sum", "b")}),
+         c("x") > L(10)),
+     "SELECT a AS x, SUM(b) AS s FROM id_int_int_int_100 GROUP BY x "
+     "HAVING x > 10"),
+    ("alias_derived_pick",
+     lambda T: R.projection(
+         R.projection(mk(T, "mixed"), {
+             "a1": c("a"), "b2": c("b"), "b3": c("b"), "a3": c("a"),
+             "b1": c("b"), "a2": c("a")}),
+         {"a1": c("a1"), "b2": c("b2"), "a3": c("a3")}),
+     "SELECT a1, b2, a3 FROM (SELECT a AS a1, b AS b2, b AS b3, "
+     "a AS a3, b AS b1, a AS a2 FROM mixed) AS r"),
+    ("alias_cross_counts",
+     lambda T: R.product(
+         R.aggregate(mk(T, "iii50"), [], {"cnt1": R.agg("count_star")}),
+         pa.table({"cnt2": [int(_scalar(
+             R.aggregate(mk(T, "iii100"), [],
+                         {"n": R.agg("count_star")}), "n"))]})),
+     "SELECT * FROM (SELECT COUNT(*) AS cnt1 FROM id_int_int_int_50) "
+     "AS s1, (SELECT COUNT(*) AS cnt2 FROM id_int_int_int_100) AS s2"),
+    ("cross_self_join_counts",
+     lambda T: R.product(
+         R.aggregate(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"), {"la": c("a")}),
+                 R.projection(mk(T, "mixed"), {"ra": c("a")}),
+                 on=["la"], right_on=["ra"]),
+             [], {"cnt1": R.agg("count_star")}),
+         pa.table({"cnt2": [int(_scalar(
+             R.aggregate(
+                 R.hash_join(
+                     R.projection(mk(T, "iii50"), {"la": c("a")}),
+                     R.projection(mk(T, "iii50"), {"ra": c("a")}),
+                     on=["la"], right_on=["ra"]),
+                 [], {"n": R.agg("count_star")}), "n"))]})),
+     "SELECT * FROM (SELECT COUNT(*) AS cnt1 FROM mixed AS l, mixed "
+     "AS r WHERE l.a = r.a) AS s1, (SELECT COUNT(*) AS cnt2 FROM "
+     "id_int_int_int_50 AS l, id_int_int_int_50 AS r WHERE l.a = r.a)"
+     " AS s2"),
+    # -- COUNT(*) over products / constants (queries.sql:287-293) -----
+    ("count_star_product",
+     lambda T: R.aggregate(
+         R.product(R.projection(mk(T, "iii50"), {"x": c("a")}),
+                   pa.table({"y": T["iii100"].column("a")})),
+         [], {"n": R.agg("count_star")}),
+     "SELECT COUNT(*) AS n FROM id_int_int_int_50, id_int_int_int_100"),
+    ("count_star_const_derived",
+     lambda T: R.aggregate(_one(), [], {"n": R.agg("count_star")}),
+     "SELECT COUNT(*) AS n FROM (SELECT 1) t"),
+    # -- ORDER BY over a projected expression (queries.sql:144) -------
+    ("order_by_proj_expr_ordered",
+     lambda T: R.projection(
+         R.sort(mk(T, "mixed"), ["a", "b"]), {"t": c("b") + L(13)}),
+     "SELECT b + 13 AS t FROM mixed ORDER BY a, b ASC", True),
+    # -- products with WHERE equality (queries.sql:155-156) -----------
+    ("product_filter_eq_str",
+     lambda T: R.projection(
+         R.table_scan(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"), {"la": c("a"), "lb": c("b")}),
+                 R.projection(mk(T, "mixed_null"),
+                              {"ra": c("a"), "rb": c("b")}),
+                 on=["la"], right_on=["ra"]),
+             c("lb") == L(2)),
+         {"rb": c("rb")}),
+     "SELECT r.b AS rb FROM mixed AS l, mixed_null AS r "
+     "WHERE l.a = r.a AND l.b = 2"),
+    ("product_join_a_eq_d",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "mixed"), {"lid": c("id"), "la": c("a")}),
+         R.projection(mk(T, "mixed_null"), {"rb": c("b"), "rd": c("d")}),
+         on=["la"], right_on=["rd"]),
+     "SELECT l.id AS lid, l.a AS la, r.b AS rb FROM mixed AS l, "
+     "mixed_null AS r WHERE l.a = r.d"),
+    # -- join shapes (queries.sql:159-186) ----------------------------
+    ("join_derived_dup_alias_keys",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "mixed"), {"la1": c("a"), "la2": c("a")}),
+         R.projection(mk(T, "mixed_null"), {"ra1": c("a"), "ra2": c("a")}),
+         on=["la1"], right_on=["ra2"]),
+     "SELECT l.a1 AS la1, l.a2 AS la2, r.a1 AS ra1 FROM "
+     "(SELECT a AS a1, a AS a2 FROM mixed) AS l JOIN "
+     "(SELECT a AS a1, a AS a2 FROM mixed_null) AS r ON l.a1 = r.a2"),
+    ("natural_join_extra_col",
+     lambda T: R.hash_join(
+         mk(T, "mixed"),
+         R.projection(mk(T, "iii100"), {"foo": c("c"), "id": c("id")}),
+         on=["id"]),
+     "SELECT * FROM mixed NATURAL JOIN "
+     "(SELECT c AS foo, id FROM id_int_int_int_100) AS t2"),
+    ("join_self_star_both",
+     lambda T: R.hash_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(50)),
+                      {"aid": c("id"), "ab": c("b")}),
+         R.projection(mk(T, "mixed"),
+                      {"bid": c("id"), "bb": c("b"), "rk": c("id")}),
+         on=["aid"], right_on=["rk"]),
+     "SELECT b.id AS bid, b.b AS bb, a.id AS aid, a.b AS ab FROM "
+     "mixed AS a JOIN mixed AS b ON a.id = b.id WHERE a.id > 50"),
+    ("join_on_or_pred",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "mixed"), {"id1": c("id")}),
+         pa.table({"id2": T["mixed"].column("id")}),
+         ((c("id1") * L(3)) == (c("id2") - L(5))) | (c("id1") > L(20))),
+     "SELECT m1.id AS id1, m2.id AS id2 FROM mixed AS m1 JOIN mixed "
+     "AS m2 ON m1.id * 3 = m2.id - 5 OR m1.id > 20"),
+    ("left_join_filter_right_not_in",
+     lambda T: R.table_scan(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"la": c("a"), "lb": c("b")}),
+             R.projection(mk(T, "mixed"), {"ra": c("a"), "rk": c("a")}),
+             on=["la"], right_on=["rk"], how="left"),
+         R.not_(R.in_(c("ra"), ["a", "b"]))),
+     "SELECT l.a AS la, l.b AS lb, r.a AS ra FROM mixed AS l LEFT "
+     "JOIN mixed AS r ON l.a = r.a WHERE r.a NOT IN ('a', 'b')"),
+    # -- aggregate shapes (queries.sql:228-306) -----------------------
+    ("agg_sum_plus_avg_by_expr",
+     lambda T: R.projection(
+         R.aggregate(
+             R.projection(mk(T, "mixed"),
+                          {"g": c("id") + L(5), "b": c("b"), "c": c("c")}),
+             ["g"], {"sb": R.agg("sum", "b"), "ac": R.agg("avg", "c")}),
+         {"x": c("sb") + c("ac")}),
+     "SELECT SUM(b) + AVG(c) AS x FROM mixed GROUP BY id + 5"),
+    ("agg_two_exprs_by_expr",
+     lambda T: R.projection(
+         R.aggregate(
+             R.projection(mk(T, "mixed"),
+                          {"g": c("id") + L(5), "b": c("b"), "c": c("c")}),
+             ["g"], {"sb": R.agg("sum", "b"), "ac": R.agg("avg", "c")}),
+         {"x": c("sb") + c("ac"), "y": c("ac") * L(3)}),
+     "SELECT SUM(b) + AVG(c) AS x, AVG(c) * 3 AS y FROM mixed "
+     "GROUP BY id + 5"),
+    ("agg_min_group_two_unselected",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), ["d", "c"],
+                     {"m": R.agg("min", "id")}),
+         {"m": c("m")}),
+     "SELECT MIN(id) AS m FROM mixed GROUP BY d, c"),
+    ("agg_output_filter_between",
+     lambda T: R.projection(
+         R.table_scan(
+             R.aggregate(mk(T, "mixed"), ["a", "b"],
+                         {"max_b": R.agg("max", "b"),
+                          "min_c": R.agg("min", "c")}),
+             R.between(c("b"), L(20), L(50)) & (c("min_c") > L(15))),
+         {"b": c("b"), "min_c": c("min_c"), "max_b": c("max_b")}),
+     "SELECT b, sub.min_c, max_b FROM (SELECT a, b, MAX(b) AS max_b, "
+     "MIN(c) AS min_c FROM mixed GROUP BY a, b) AS sub WHERE "
+     "b BETWEEN 20 AND 50 AND min_c > 15"),
+    ("agg_count_alias_as_col",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a"],
+                           {"b": R.agg("count", "a")}),
+     "SELECT a, b FROM (SELECT a, COUNT(a) AS b FROM mixed "
+     "GROUP BY a) t"),
+    ("agg_having_or_chain",
+     lambda T: R.table_scan(
+         R.aggregate(mk(T, "mixed"), ["a", "b"],
+                     {"mb": R.agg("max", "b"), "ac": R.agg("avg", "c")}),
+         (c("b") > L(33)) | (c("b") == L(1)) | (c("b") == L(17))),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY "
+     "a, b HAVING b > 33 OR b = 1 OR b = 17"),
+    # -- scalar subqueries in the SELECT list (queries.sql:370-373) ---
+    ("select_scalar_uncorr",
+     lambda T: (lambda v: R.projection(
+         mk(T, "iii100"), {"a": c("a"), "foo": L(v)}))(
+         int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                 {"m": R.agg("max", "b")}), "m"))),
+     "SELECT a, (SELECT MAX(b) FROM mixed) AS foo "
+     "FROM id_int_int_int_100"),
+    ("select_scalar_corr_one",
+     lambda T: (lambda v: R.projection(
+         mk(T, "iii100"), {"foo": L(v) + c("a")}))(
+         int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                 {"m": R.agg("max", "b")}), "m"))),
+     "SELECT (SELECT MAX(b) + id_int_int_int_100.a FROM mixed) AS foo "
+     "FROM id_int_int_int_100"),
+    ("select_scalar_corr_two",
+     lambda T: (lambda v: R.projection(
+         mk(T, "iii100"), {"foo": L(v) + c("a") + c("b")}))(
+         int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                 {"m": R.agg("max", "b")}), "m"))),
+     "SELECT (SELECT MAX(b) + id_int_int_int_100.a + "
+     "id_int_int_int_100.b FROM mixed) AS foo FROM id_int_int_int_100"),
+    # -- correlated scalar subqueries in WHERE (queries.sql:377-378) --
+    ("corr_min_id_plus10",
+     lambda T: R.semi_join(
+         mk(T, "iii100"),
+         R.table_scan(
+             R.aggregate(
+                 R.projection(mk(T, "iii100"),
+                              {"k": c("id"), "v": c("id") + L(10)}),
+                 ["k"], {"mn": R.agg("min", "v")}),
+             c("mn") > L(20)),
+         on=["id"], right_on=["k"]),
+     "SELECT * FROM id_int_int_int_100 t1 WHERE (SELECT MIN(t2.id + "
+     "10) FROM id_int_int_int_100 t2 WHERE t2.id = t1.id) > 20"),
+    ("corr_scalar_min_b_offset",
+     lambda T: (lambda v: R.projection(
+         R.table_scan(mk(T, "iii100"),
+                      (c("id") + L(1)) == (L(v) + c("id"))),
+         {"a": c("a")}))(
+         int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                 {"m": R.agg("min", "b")}), "m"))),
+     "SELECT a FROM id_int_int_int_100 AS r WHERE id + 1 = "
+     "(SELECT MIN(b) + r.id FROM mixed)"),
+    # -- DML write path (queries.sql:317-343) --------------------------
+    ("dml_delete_where", _dml_delete_simple,
+     "DROP TABLE IF EXISTS t5a; CREATE TABLE t5a AS SELECT * FROM "
+     "id_int_int_int_100; DELETE FROM t5a WHERE id > 75; "
+     "SELECT * FROM t5a"),
+    ("dml_delete_or", _dml_delete_or,
+     "DROP TABLE IF EXISTS t5b; CREATE TABLE t5b AS SELECT * FROM "
+     "id_int_int_int_100; DELETE FROM t5b WHERE a > 40 OR b < 20; "
+     "SELECT * FROM t5b"),
+    ("dml_update_where", _dml_update_where,
+     "DROP TABLE IF EXISTS t5c; CREATE TABLE t5c AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t5c SET a = a + 1 WHERE id > 10; "
+     "SELECT * FROM t5c"),
+    ("dml_update_swap", _dml_update_swap,
+     "DROP TABLE IF EXISTS t5d; CREATE TABLE t5d AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t5d SET id = a, a = b, b = c, "
+     "c = id WHERE id > 20; SELECT * FROM t5d"),
+    ("dml_insert_values", _dml_insert_values,
+     "DROP TABLE IF EXISTS t5e; CREATE TABLE t5e AS SELECT * FROM "
+     "id_int_int_int_100; INSERT INTO t5e VALUES (100, 1, 2, 3); "
+     "SELECT * FROM t5e"),
+    ("dml_insert_select", _dml_insert_select,
+     "DROP TABLE IF EXISTS t5f; CREATE TABLE t5f AS SELECT * FROM "
+     "id_int_int_int_100; INSERT INTO t5f SELECT * FROM "
+     "id_int_int_int_50 WHERE b < 50; SELECT * FROM t5f"),
 ]
 
 
