@@ -4,10 +4,11 @@ iterative star-contraction rounds.
 Implements the alternating large-star / small-star algorithm of
 Kiveris et al., "Connected Components in MapReduce and Beyond" /
 "Finding connected components in map-reduce in logarithmic rounds"
-(ICDE 2013, public literature — see PAPERS.md): each round is a
-``groupby(node).map_groups`` over the edge list (a hash-partitioned
-shuffle on the node id), converging in O(log n) rounds to star graphs
-whose centers are the component minima.
+(ICDE 2013, public literature — see PAPERS.md): each round is one
+engine hash exchange over the edge list keyed on the node id
+(stages/exchange.py — one move per row, no sort-based coordination),
+converging in O(log n) rounds to star graphs whose centers are the
+component minima.
 
 - large-star: for every node u with neighborhood N(u) (edges in both
   orientations), link every neighbor v > u to m = min(N(u) ∪ {u}).
@@ -31,6 +32,10 @@ from ray.data.aggregate import Sum
 
 from hyrise_generalized_dedup_ray.config import EngineConfig
 from hyrise_generalized_dedup_ray.functions.hashing import mix2
+
+# map-side output schema of the orientation fns (u, v, shard id)
+_UVP_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                         ("pkey", pa.int64())])
 
 
 def _both_orientations(batch: pa.Table, num_partitions: int = 32) -> pa.Table:
@@ -146,6 +151,8 @@ def star_contraction(edges: Dataset, eng: EngineConfig,
     """
     import functools
 
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange
+
     current = _dedupe(edges)
     prev_sig = _checksum(current)
     rounds = 0
@@ -154,18 +161,18 @@ def star_contraction(edges: Dataset, eng: EngineConfig,
     orient_mm = functools.partial(_orient_max_min,
                                   num_partitions=num_partitions)
     for rounds in range(1, eng.cc_max_rounds + 1):
-        ls = (
-            current.map_batches(orient_both, batch_format="pyarrow",
-                                zero_copy_batch=True)
-            .groupby("pkey")
-            .map_groups(_large_star_partition, batch_format="pyarrow")
-        )
-        ss = (
-            ls.map_batches(orient_mm, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("pkey")
-            .map_groups(_small_star_partition, batch_format="pyarrow")
-        )
+        # each half-round is ONE engine hash exchange routed on the
+        # precomputed pkey (key_is_shard) — not Ray's sort-based
+        # groupby, whose boundary sampling + barriers the exchange
+        # module measured as the slow path (stages/exchange.py:5-11)
+        ls = hash_exchange(
+            current, orient_both, "pkey", _large_star_partition,
+            num_shards=num_partitions, schema=_UVP_SCHEMA,
+            key_is_shard=True)
+        ss = hash_exchange(
+            ls, orient_mm, "pkey", _small_star_partition,
+            num_shards=num_partitions, schema=_UVP_SCHEMA,
+            key_is_shard=True)
         current = _dedupe(ss).materialize()
         sig = _checksum(current)
         if sig == prev_sig:
@@ -189,14 +196,13 @@ def labels_from_star_edges(star_edges: Dataset,
             "cluster": pa.array(row_gmin[starts], type=pa.int64()),
         })
 
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange
+
     orient_both = functools.partial(_both_orientations,
                                     num_partitions=num_partitions)
-    return (
-        star_edges.map_batches(orient_both, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby("pkey")
-        .map_groups(node_min_partition, batch_format="pyarrow")
-    )
+    return hash_exchange(
+        star_edges, orient_both, "pkey", node_min_partition,
+        num_shards=num_partitions, schema=_UVP_SCHEMA, key_is_shard=True)
 
 
 def connected_components(
