@@ -838,19 +838,40 @@ def exists_join(
     if residual is None:
         fn = anti_join if negate else semi_join
         return fn(left, right, on, right_on)
-    j = hash_join(left, right, on, right_on, "inner", num_partitions)
-    matched = distinct(table_scan(j, residual), list(on))
+    # the residual may reference LEFT columns beyond the correlation
+    # key (… s.b = r.b AND s.c < r.c), so two left rows sharing a key
+    # can have different EXISTS outcomes — the probe must be keyed by
+    # the left ROW (null-safe row identity), not the join key alone
+    lnames = list(left.schema().names)
+    lk = _row_identity(left, lnames)
+    j = hash_join(lk, right, on, right_on, "inner", num_partitions)
+    matched = distinct(table_scan(j, residual), ["_rid"])
     fn = anti_join if negate else semi_join
-    return fn(left, matched, on)
+    return fn(lk, matched.select_columns(["_rid"]),
+              ["_rid"]).drop_columns(["_rid"])
 
 
-def theta_join(left: Dataset, small: pa.Table, predicate) -> Dataset:
+def theta_join(left: Dataset, small: pa.Table, predicate,
+               how: str = "inner") -> Dataset:
     """Non-equi (theta) join against a broadcast small side — the
-    JoinNestedLoop fallback (join_nested_loop.hpp:18): cross product
-    per batch, then the predicate mask.  Only for genuinely small right
-    sides; range predicates over two large sides belong to a sort-merge
-    composition (ds.sort + windowed map_groups, SURVEY.md §2.5)."""
-    return table_scan(product(left, small), predicate)
+    JoinNestedLoop fallback (join_nested_loop.hpp:18, which supports
+    Inner and the outer modes via its ``JoinMode`` switch): cross
+    product per batch, then the predicate mask.  Only for genuinely
+    small right sides; range predicates over two large sides belong to
+    a sort-merge composition (ds.sort + windowed map_groups,
+    SURVEY.md §2.5).
+
+    ``how='left_outer'``: SQL ``LEFT JOIN ... ON <theta>`` — a left row
+    with NO qualifying right row survives null-extended (the inner pass
+    plus the engine's null-safe row-identity anti tail, same shape as
+    :func:`multi_predicate_join`).  Column names must be disjoint."""
+    inner = table_scan(product(left, small), predicate)
+    if how == "inner":
+        return inner
+    if how not in ("left", "left_outer"):
+        raise NotImplementedError(f"theta_join how={how}")
+    ext = [(f.name, f.type) for f in small.schema]
+    return union_all(inner, _null_extend_unmatched(left, inner, ext))
 
 
 def product(left: Dataset, right: pa.Table) -> Dataset:

@@ -110,11 +110,18 @@ def _write_data_files(tdir: str, ds: Dataset) -> tuple[list[str], int]:
 
 
 def create_table(root: str, name: str, ds: Dataset | pa.Table | None = None,
-                 schema: pa.Schema | None = None) -> None:
-    """CreateTable (maintenance/create_table.cpp): empty with a schema,
-    or CREATE TABLE AS from a Dataset/Arrow table."""
+                 schema: pa.Schema | None = None,
+                 if_not_exists: bool = False) -> None:
+    """CreateTable (maintenance/create_table.cpp — its
+    ``if_not_exists`` flag is create_table.hpp's constructor arg):
+    empty with a schema, or CREATE TABLE AS from a Dataset/Arrow table.
+    With ``if_not_exists`` an existing table is left untouched (the
+    second CREATE's schema is ignored, as in the reference runner's
+    ``CREATE TABLE IF NOT EXISTS t (b INT)`` statement)."""
     tdir = _table_dir(root, name)
     if os.path.exists(os.path.join(tdir, _CURRENT)):
+        if if_not_exists:
+            return
         raise ValueError(f"table {name!r} already exists under {root}")
     os.makedirs(tdir, exist_ok=True)
     if ds is None:
@@ -211,3 +218,64 @@ def update_where(root: str, name: str, predicate, assignments: dict) -> int:
     v = m["version"] + 1
     _commit(tdir, v, files, rows)
     return v
+
+
+# -- SQL VIEWs --------------------------------------------------------
+# The reference registers a view as a stored LOGICAL PLAN in the
+# in-process StorageManager (storage_manager.hpp:38-46 add_view/
+# drop_view/get_view over an in-memory map of LQPView, lqp_view.hpp:
+# the LQP plus an optional column-alias list) — views are NOT durable
+# across restarts there either.  The recast keeps those semantics: a
+# view is a deferred Dataset builder (the "plan"); reading the view
+# runs the builder, so it always reflects the CURRENT state of any
+# snapshot tables it reads, and an optional column list renames the
+# output like ``CREATE VIEW v (foo, bar) AS ...``.
+
+_VIEWS: dict[str, tuple] = {}
+
+
+def create_view(name: str, builder, columns: list[str] | None = None,
+                or_replace: bool = False) -> None:
+    """CreateView (maintenance/create_view.cpp): store the deferred
+    plan; nothing executes until the view is read."""
+    if name in _VIEWS and not or_replace:
+        raise ValueError(f"view {name!r} already exists")
+    _VIEWS[name] = (builder, list(columns) if columns else None)
+
+
+def drop_view(name: str, if_exists: bool = False) -> None:
+    """DropView (maintenance/drop_view.cpp)."""
+    if name not in _VIEWS:
+        if if_exists:
+            return
+        raise ValueError(f"no such view {name!r}")
+    del _VIEWS[name]
+
+
+def has_view(name: str) -> bool:
+    return name in _VIEWS
+
+
+def view_names() -> list[str]:
+    """storage_manager.hpp:45 view_names()."""
+    return sorted(_VIEWS)
+
+
+def read_view(name: str) -> Dataset:
+    """Expand the stored plan — the SQL translator substitutes the
+    view's LQP wherever the view name appears in FROM
+    (sql_translator.cpp resolves view names through StorageManager)."""
+    builder, columns = _VIEWS[name]
+    ds = builder()
+    if columns is not None:
+        names = ds.schema().names
+        if len(columns) != len(names):
+            raise ValueError(
+                f"view {name!r}: {len(columns)} aliases for "
+                f"{len(names)} columns")
+        mapping = dict(zip(names, columns))
+        ds = ds.map_batches(
+            lambda b, m=mapping: b.rename_columns(
+                [m[n] for n in b.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds

@@ -14,8 +14,11 @@ NOT, string comparisons, null semantics), projections (arithmetic,
 aliases, duplicated outputs), aggregates (expression group keys,
 HAVING, COUNT variants, COUNT DISTINCT, null groups), DISTINCT,
 ORDER BY (order-sensitive, null placement), LIMIT, joins (string keys,
-multi-table chains, non-equi, multi-predicate), EXISTS/NOT EXISTS, and
-scalar subqueries.
+multi-table chains incl. four tables, non-equi LEFT joins,
+multi-predicate, OR join predicates, derived-table computed keys),
+EXISTS/NOT EXISTS (incl. scalar and nested forms), scalar subqueries,
+VIEWs, CREATE TABLE IF NOT EXISTS / AS SELECT, and the
+BEGIN..ROLLBACK/COMMIT scripts recast as snapshot-version visibility.
 """
 
 from __future__ import annotations
@@ -178,6 +181,121 @@ def _dml_insert_select(T):
     W.insert_into(root, "t",
                   R.table_scan(ray.data.from_arrow(T["iii50"]),
                                c("b") < L(50)))
+    return W.read_table(root, "t")
+
+
+# -- tranche 6 builders: VIEWS (queries.sql:355-361), TABLES (362-365),
+# TRANSACTIONS (475-481 — the BEGIN/ROLLBACK/COMMIT scripts recast as
+# snapshot-version visibility: ROLLBACK = read the pre-write version,
+# COMMIT = read the current one; DuckDB replays the literal script).
+def _view_count_distinct(T):
+    W.create_view("conf_count_view1",
+                  lambda: R.aggregate(mk(T, "iii100"), ["a"],
+                                      {"cd": R.agg("count_distinct", "b")}),
+                  or_replace=True)
+    return W.read_view("conf_count_view1")
+
+
+def _view_filtered(T):
+    W.create_view("conf_count_view2",
+                  lambda: R.aggregate(mk(T, "iii100"), ["a"],
+                                      {"cd": R.agg("count_distinct", "b")}),
+                  or_replace=True)
+    return R.table_scan(W.read_view("conf_count_view2"), c("a") > L(10))
+
+
+def _view_renamed_cols(T):
+    W.create_view("conf_count_view3",
+                  lambda: R.aggregate(mk(T, "iii100"), ["a"],
+                                      {"cd": R.agg("count_distinct", "b")}),
+                  columns=["foo", "bar"], or_replace=True)
+    return R.table_scan(W.read_view("conf_count_view3"), c("foo") > L(10))
+
+
+def _view_alias_pair(T):
+    W.create_view("conf_alias_view",
+                  lambda: R.projection(
+                      R.table_scan(mk(T, "iii100"), c("a") > L(10)),
+                      {"a1": c("a"), "a2": c("a")}),
+                  or_replace=True)
+    return W.read_view("conf_alias_view")
+
+
+def _view_join_customer(T):
+    W.create_view("conf_someview",
+                  lambda: R.hash_join(
+                      mk(T, "customer"),
+                      R.projection(mk(T, "iii100"),
+                                   {"ka": c("a"), "ib": c("b"),
+                                    "ic": c("c"), "iid": c("id")}),
+                      on=["c_custkey"], right_on=["ka"]),
+                  or_replace=True)
+    return W.read_view("conf_someview")
+
+
+def _view_reflects_insert(T):
+    root = _dml_root()
+    W.create_table(root, "vt", T["iii50"])
+    W.create_view("conf_vt_view",
+                  lambda: R.table_scan(W.read_table(root, "vt"),
+                                       c("b") < L(50)),
+                  or_replace=True)
+    row = pa.table({"id": [999], "a": [1], "b": [2], "c": [3]}).cast(
+        T["iii50"].schema)
+    W.insert_into(root, "vt", row)
+    return W.read_view("conf_vt_view")
+
+
+def _create_if_not_exists(T):
+    root = _dml_root()
+    W.create_table(root, "t", schema=pa.schema([("a", pa.int32())]))
+    W.insert_into(root, "t", pa.table({"a": pa.array([1], pa.int32())}))
+    W.create_table(root, "t", schema=pa.schema([("b", pa.int32())]),
+                   if_not_exists=True)
+    return W.read_table(root, "t")
+
+
+def _create_table_as_join(T):
+    root = _dml_root()
+    W.create_table(root, "sometable", R.hash_join(
+        mk(T, "customer"),
+        R.projection(mk(T, "iii100"), {"ka": c("a"), "ib": c("b"),
+                                       "ic": c("c"), "iid": c("id")}),
+        on=["c_custkey"], right_on=["ka"]))
+    return W.read_table(root, "sometable")
+
+
+def _txn_insert_rollback(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["mixed"])
+    v0 = W.current_version(root, "t")
+    W.insert_into(root, "t", pa.table(
+        {"id": [999], "a": ["a"], "b": [42], "c": [123.456],
+         "d": ["qwer"]}).cast(T["mixed"].schema))
+    return W.read_table(root, "t", version=v0)
+
+
+def _txn_insert_commit(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["mixed"])
+    W.insert_into(root, "t", pa.table(
+        {"id": [999], "a": ["a"], "b": [42], "c": [123.456],
+         "d": ["qwer"]}).cast(T["mixed"].schema))
+    return W.read_table(root, "t")
+
+
+def _txn_delete_rollback(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    v0 = W.current_version(root, "t")
+    W.delete_where(root, "t", c("a") > L(9000))
+    return W.read_table(root, "t", version=v0)
+
+
+def _txn_delete_commit(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.delete_where(root, "t", c("id") > L(90))
     return W.read_table(root, "t")
 
 
@@ -1586,6 +1704,414 @@ CASES = [
      "DROP TABLE IF EXISTS t5f; CREATE TABLE t5f AS SELECT * FROM "
      "id_int_int_int_100; INSERT INTO t5f SELECT * FROM "
      "id_int_int_int_50 WHERE b < 50; SELECT * FROM t5f"),
+    # == tranche 6 ====================================================
+    # -- non-equi LEFT joins (queries.sql:172-177,190-199) ------------
+    ("left_theta_lt",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"), {"la": c("a"), "lb": c("b")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b")}),
+         c("la") < c("ra"), how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t2.a AS ra, t2.b AS rb FROM "
+     "id_int_int_int_100 t1 LEFT JOIN id_int_int_int_100 t2 "
+     "ON t1.a < t2.a"),
+    ("left_theta_gt",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"), {"la": c("a"), "lb": c("b")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b")}),
+         c("la") > c("ra"), how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t2.a AS ra, t2.b AS rb FROM "
+     "id_int_int_int_100 t1 LEFT JOIN id_int_int_int_100 t2 "
+     "ON t1.a > t2.a"),
+    ("left_theta_le",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"), {"la": c("a"), "lb": c("b")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b")}),
+         c("la") <= c("ra"), how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t2.a AS ra, t2.b AS rb FROM "
+     "id_int_int_int_100 t1 LEFT JOIN id_int_int_int_100 t2 "
+     "ON t1.a <= t2.a"),
+    ("left_theta_ge",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"), {"la": c("a"), "lb": c("b")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b")}),
+         c("la") >= c("ra"), how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t2.a AS ra, t2.b AS rb FROM "
+     "id_int_int_int_100 t1 LEFT JOIN id_int_int_int_100 t2 "
+     "ON t1.a >= t2.a"),
+    ("left_theta_compound_3",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"),
+                      {"la": c("a"), "lb": c("b"), "lc": c("c")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b"),
+                   "rc": T["iii100"].column("c")}),
+         (c("la") > c("ra")) & (c("lb") >= c("rb")) & (c("lc") < c("rc")),
+         how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t1.c AS lc, t2.a AS ra, t2.b AS "
+     "rb, t2.c AS rc FROM id_int_int_int_100 t1 LEFT JOIN "
+     "id_int_int_int_100 t2 ON t1.a > t2.a AND t1.b >= t2.b AND "
+     "t1.c < t2.c"),
+    ("left_theta_compound_5",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"),
+                      {"la": c("a"), "lb": c("b"), "lc": c("c")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b"),
+                   "rc": T["iii100"].column("c")}),
+         (c("la") <= c("ra")) & (c("lb") > c("rb")) & (c("lc") < c("rc"))
+         & (c("lb") > c("rc")) & (c("la") == c("rc")),
+         how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t1.c AS lc, t2.a AS ra, t2.b AS "
+     "rb, t2.c AS rc FROM id_int_int_int_100 t1 LEFT JOIN "
+     "id_int_int_int_100 t2 ON t1.a <= t2.a AND t1.b > t2.b AND "
+     "t1.c < t2.c AND t1.b > t2.c AND t1.a = t2.c"),
+    ("left_theta_double_ne",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii50"), {"la": c("a"), "lb": c("b")}),
+         pa.table({"ra": T["iii50"].column("a"),
+                   "rb": T["iii50"].column("b")}),
+         (c("la") != c("ra")) & (c("lb") != c("rb")), how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t2.a AS ra, t2.b AS rb FROM "
+     "id_int_int_int_50 t1 LEFT JOIN id_int_int_int_50 t2 "
+     "ON t1.a != t2.a AND t1.b != t2.b"),
+    ("left_theta_scan_ge",
+     lambda T: R.theta_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(90)),
+                      {"lid": c("id")}),
+         pa.table({"rb": T["mixed"].column("b"),
+                   "rid": T["mixed"].column("id")}),
+         c("lid") >= c("rb"), how="left_outer"),
+     "SELECT t1.id AS lid, t2.b AS rb, t2.id AS rid FROM mixed t1 "
+     "LEFT JOIN mixed t2 ON t1.id >= t2.b WHERE t1.id > 90"),
+    # -- string-column non-equi joins (queries.sql:201-204) -----------
+    ("join_string_eq_gt",
+     lambda T: R.multi_predicate_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(50)),
+                      {"a1": c("a"), "d1": c("d")}),
+         R.projection(mk(T, "mixed"), {"a2": c("a"), "d2": c("d")}),
+         on=["a1"], right_on=["a2"], residual=c("d1") > c("d2")),
+     "SELECT m1.a AS a1, m1.d AS d1, m2.d AS d2 FROM mixed m1 "
+     "JOIN mixed m2 ON m1.a = m2.a AND m1.d > m2.d WHERE m1.id > 50"),
+    ("join_string_ne_gt",
+     lambda T: R.theta_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(50)),
+                      {"a1": c("a"), "d1": c("d")}),
+         pa.table({"a2": T["mixed"].column("a"),
+                   "d2": T["mixed"].column("d")}),
+         (c("a1") != c("a2")) & (c("d1") > c("d2"))),
+     "SELECT m1.a AS a1, m1.d AS d1, m2.a AS a2, m2.d AS d2 FROM mixed "
+     "m1 JOIN mixed m2 ON m1.a != m2.a AND m1.d > m2.d "
+     "WHERE m1.id > 50"),
+    ("join_string_lt_gt",
+     lambda T: R.theta_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(50)),
+                      {"a1": c("a"), "d1": c("d")}),
+         pa.table({"a2": T["mixed"].column("a"),
+                   "d2": T["mixed"].column("d")}),
+         (c("a1") < c("a2")) & (c("d1") > c("d2"))),
+     "SELECT m1.a AS a1, m1.d AS d1, m2.a AS a2, m2.d AS d2 FROM mixed "
+     "m1 JOIN mixed m2 ON m1.a < m2.a AND m1.d > m2.d "
+     "WHERE m1.id > 50"),
+    ("left_join_not_in_right",
+     # the NOT IN filters on the RIGHT side's column, so a NULL-extended
+     # left row is dropped (NULL NOT IN (...) is NULL); carry a second
+     # copy of the right key since the join merges the key columns
+     lambda T: R.table_scan(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"la": c("a"), "lid": c("id")}),
+             R.projection(mk(T, "mixed"),
+                          {"ra": c("a"), "ra2": c("a"), "rid": c("id")}),
+             on=["la"], right_on=["ra"], how="left_outer"),
+         ~R.in_(c("ra2"), ["a", "b"])),
+     "SELECT m1.a AS la, m1.id AS lid, m2.a AS ra2, m2.id AS rid "
+     "FROM mixed m1 LEFT JOIN mixed m2 ON m1.a = m2.a "
+     "WHERE m2.a NOT IN ('a', 'b')"),
+    # -- OR join predicate (queries.sql:207) --------------------------
+    ("join_or_pred",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "mixed"), {"i1": c("id")}),
+         pa.table({"i2": T["mixed"].column("id")}),
+         ((c("i1") * L(3)) == (c("i2") - L(5))) | (c("i1") > L(20))),
+     "SELECT m1.id AS i1, m2.id AS i2 FROM mixed m1 JOIN mixed m2 "
+     "ON m1.id * 3 = m2.id - 5 OR m1.id > 20"),
+    # -- multi-table joins (queries.sql:210-228) ----------------------
+    ("join_three_chain_mixed",
+     lambda T: R.hash_join(
+         R.hash_join(
+             R.projection(mk(T, "mixed_null"), {"b1": c("b")}),
+             R.projection(mk(T, "iii100"), {"a2": c("a"), "id2": c("id")}),
+             on=["b1"], right_on=["a2"]),
+         R.projection(mk(T, "mixed"), {"b3": c("b"), "id3": c("id")}),
+         on=["b1"], right_on=["b3"]),
+     "SELECT t1.b AS b1, t2.id AS id2, t3.id AS id3 FROM mixed_null t1 "
+     "INNER JOIN id_int_int_int_100 t2 ON t1.b = t2.a "
+     "INNER JOIN mixed t3 ON t1.b = t3.b"),
+    ("join_name_resolution",
+     lambda T: R.hash_join(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"a1": c("a"), "b1": c("b")}),
+             R.projection(mk(T, "mixed_null"), {"b2": c("b")}),
+             on=["b1"], right_on=["b2"]),
+         R.projection(mk(T, "iii100"), {"a3": c("a")}),
+         on=["b1"], right_on=["a3"]),
+     "SELECT t1.a AS a1, t1.b AS b1 FROM mixed t1 "
+     "INNER JOIN mixed_null t2 ON t1.b = t2.b "
+     "INNER JOIN id_int_int_int_100 t3 ON t1.b = t3.a"),
+    ("join_four_tables",
+     lambda T: R.hash_join(
+         R.hash_join(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"),
+                              {"id1": c("id"), "a1": c("a")}),
+                 R.projection(mk(T, "mixed_null"), {"b2": c("b")}),
+                 on=["id1"], right_on=["b2"]),
+             R.projection(mk(T, "iii100"), {"b3": c("b")}),
+             on=["id1"], right_on=["b3"]),
+         R.projection(mk(T, "customer"),
+                      {"ck": c("c_custkey"), "c_name": c("c_name")}),
+         on=["id1"], right_on=["ck"]),
+     "SELECT t1.id AS id1, t1.a AS a1, t4.c_name FROM mixed t1 "
+     "INNER JOIN mixed_null t2 ON t1.id = t2.b "
+     "INNER JOIN id_int_int_int_100 t3 ON t1.id = t3.b "
+     "INNER JOIN tpch_customer t4 ON t1.id = t4.c_custkey"),
+    ("join_three_complex_pred",
+     lambda T: R.projection(
+         R.table_scan(
+             R.hash_join(
+                 R.projection(
+                     R.product(
+                         R.projection(
+                             R.table_scan(mk(T, "mixed"),
+                                          c("b") == L(19)),
+                             {"id1": c("id"), "b1": c("b")}),
+                         pa.table({"b2": T["mixed_null"].column("b")})),
+                     {"k": c("id1") + c("b2"), "b1": c("b1")}),
+                 R.projection(mk(T, "iii100"),
+                              {"k3": c("a") - L(5), "b3": c("b")}),
+                 on=["k"], right_on=["k3"]),
+             (c("b1") + L(40)) == c("b3")),
+         {"b1": c("b1")}),
+     "SELECT t1.b AS b1 FROM mixed t1, mixed_null t2, "
+     "id_int_int_int_100 t3 WHERE t1.id + t2.b = t3.a - 5 "
+     "AND (5 > 3 OR 3 > 2) AND t1.b = 19 AND t1.b + 40 = t3.b"),
+    # -- derived-table computed-key joins (queries.sql:162-171) -------
+    ("derived_self_join_alias_pair",
+     lambda T: R.projection(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"a1": c("a"), "a2": c("a")}),
+             R.projection(mk(T, "mixed_null"),
+                          {"ra1": c("a"), "ra2": c("a")}),
+             on=["a1"], right_on=["ra2"]),
+         {"a1": c("a1"), "a2": c("a2"), "ra1": c("ra1")}),
+     "SELECT l.a1, l.a2, r.a1 AS ra1 FROM "
+     "(SELECT a AS a1, a AS a2 FROM mixed) l JOIN "
+     "(SELECT a AS a1, a AS a2 FROM mixed_null) r ON l.a1 = r.a2"),
+    ("derived_join_renamed_cols",
+     lambda T: R.hash_join(
+         R.projection(mk(T, "mixed"), {"e": c("a"), "f": c("b")}),
+         R.projection(mk(T, "mixed_null"), {"ra": c("a"), "rb": c("b")}),
+         on=["f"], right_on=["rb"]),
+     "SELECT l.e, l.f, r.a AS ra FROM "
+     "(SELECT a AS e, b AS f FROM mixed) l "
+     "JOIN mixed_null r ON l.f = r.b"),
+    ("derived_left_join_new_id",
+     lambda T: R.projection(
+         R.hash_join(
+             R.table_scan(R.projection(mk(T, "mixed"),
+                                       {"new_id": c("id") + L(5)}),
+                          c("new_id") > L(90)),
+             # r.id is also the join key, which the join merges away —
+             # carry a second copy so the projection can null-extend it
+             R.projection(mk(T, "mixed"), {"rid": c("id"),
+                                           "rid2": c("id")}),
+             on=["new_id"], right_on=["rid"], how="left_outer"),
+         {"new_id": c("new_id"), "a": c("rid2") + L(10)}),
+     "SELECT l.new_id, r.id + 10 AS a FROM "
+     "(SELECT id + 5 AS new_id FROM mixed WHERE id + 5 > 90) l "
+     "LEFT JOIN mixed r ON l.new_id = r.id"),
+    ("derived_left_join_scalar_plus",
+     lambda T: R.projection(
+         R.limit(
+             R.hash_join(
+                 R.table_scan(R.projection(mk(T, "mixed"),
+                                           {"lid": c("id") + L(5)}),
+                              c("lid") >= L(100)),
+                 R.projection(mk(T, "mixed"), {"rid": c("id"),
+                                               "rid2": c("id")}),
+                 on=["lid"], right_on=["rid"], how="left_outer"),
+             1),
+         {"a": c("rid2") + L(5)}),
+     "SELECT (SELECT r.id FROM (SELECT id + 5 AS id FROM mixed) l "
+     "LEFT JOIN mixed r ON l.id = r.id WHERE l.id >= 100 LIMIT 1) "
+     "+ 5 AS a"),
+    ("natural_join_rename",
+     lambda T: R.hash_join(
+         mk(T, "mixed"),
+         R.projection(mk(T, "iii100"), {"foo": c("c"), "id": c("id")}),
+         on=["id"], right_on=["id"]),
+     "SELECT * FROM mixed NATURAL JOIN "
+     "(SELECT c AS foo, id FROM id_int_int_int_100) t2"),
+    # -- EXISTS: scalar + nested forms (queries.sql:455-472) ----------
+    ("exists_scalar_one",
+     lambda T: pd.DataFrame({"some_exists": [_one().count() > 0]}),
+     "SELECT EXISTS(SELECT 1) AS some_exists"),
+    ("exists_scalar_table",
+     lambda T: pd.DataFrame(
+         {"some_exists": [mk(T, "iii100").count() > 0]}),
+     "SELECT EXISTS(SELECT * FROM id_int_int_int_100) AS some_exists"),
+    ("not_exists_scalar_table",
+     lambda T: pd.DataFrame(
+         {"some_exists": [not (mk(T, "iii100").count() > 0)]}),
+     "SELECT NOT EXISTS(SELECT * FROM id_int_int_int_100) "
+     "AS some_exists"),
+    ("exists_or_disjunct",
+     lambda T: R.table_scan(
+         mk(T, "mixed_null"),
+         L(_one().count() > 0) | (c("b") == L(42))),
+     "SELECT * FROM mixed_null WHERE EXISTS(SELECT 0) OR b = 42"),
+    ("not_exists_probe_empty",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"), c("b") > L(1000)),
+         mk(T, "mixed_null")),
+     "SELECT * FROM mixed_null WHERE NOT EXISTS"
+     "(SELECT * FROM mixed WHERE b > 1000)"),
+    ("exists_nested",
+     lambda T: (mk(T, "iii100")
+                if (mk(T, "mixed").count() > 0
+                    and mk(T, "iii50").count() > 0)
+                else mk(T, "iii100").limit(0)),
+     "SELECT * FROM id_int_int_int_100 WHERE EXISTS (SELECT a FROM "
+     "id_int_int_int_50 WHERE EXISTS (SELECT b FROM mixed))"),
+    ("exists_corr_two_conds",
+     lambda T: R.exists_join(
+         mk(T, "iii100"),
+         R.projection(mk(T, "iii50"), {"rb": c("b"), "rc": c("c")}),
+         on=["b"], right_on=["rb"], residual=c("rc") < c("c")),
+     "SELECT * FROM id_int_int_int_100 r WHERE EXISTS (SELECT s.a "
+     "FROM id_int_int_int_50 s WHERE s.b = r.b AND s.c < r.c)"),
+    # -- subquery arithmetic (queries.sql:375,383,391,393) ------------
+    ("select_scalar_const_agg",
+     lambda T: R.projection(
+         mk(T, "iii100"),
+         {"foos": L(int(_scalar(
+             R.aggregate(R.projection(mk(T, "mixed"),
+                                      {"v": L(1) + L(2)}),
+                         [], {"m": R.agg("min", "v")}), "m")))}),
+     "SELECT (SELECT MIN(1 + 2) FROM mixed) AS foos "
+     "FROM id_int_int_int_100"),
+    ("in_subquery_expr_probe_mul",
+     lambda T: R.semi_join(
+         R.projection(mk(T, "iii100"),
+                      {"id": c("id"), "a": c("a"), "b": c("b"),
+                       "cc": c("c"), "k": c("a") * L(10)}),
+         R.distinct(mk(T, "mixed"), ["b"]),
+         on=["k"], right_on=["b"]).select_columns(["id", "a", "b", "cc"]),
+     "SELECT id, a, b, c AS cc FROM id_int_int_int_100 "
+     "WHERE a * 10 IN (SELECT b FROM mixed)"),
+    ("in_and_gt_scalar_subqueries",
+     lambda T: (lambda v: R.table_scan(
+         mk(T, "iii100"), (c("a") == L(v)) & (c("b") > L(v))))(
+         int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                 {"m": R.agg("max", "id")}), "m")) / 9),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN "
+     "(SELECT MAX(id) / 9 FROM mixed) AND b > "
+     "(SELECT MAX(id) / 9 FROM mixed)"),
+    ("corr_lt_max_gt_b",
+     lambda T: R.projection(
+         R.table_scan(
+             R.hash_join(
+                 mk(T, "iii100"),
+                 R.aggregate(
+                     R.theta_join(
+                         R.projection(mk(T, "iii100"),
+                                      {"id": c("id"), "bb": c("b")}),
+                         pa.table({"mb": T["mixed"].column("b")}),
+                         c("mb") > c("bb")),
+                     ["id"], {"mx": R.agg("max", "mb")}),
+                 on=["id"]),
+             c("a") < c("mx")),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")}),
+     "SELECT * FROM id_int_int_int_100 WHERE a < (SELECT MAX(b) FROM "
+     "mixed WHERE mixed.b > id_int_int_int_100.b)"),
+    # -- subquery in FROM joined to a third table (queries.sql:398) ---
+    ("from_subquery_join_chain",
+     lambda T: R.hash_join(
+         R.projection(
+             R.hash_join(
+                 R.projection(mk(T, "iii100"),
+                              {"k1": c("id") + L(1), "sid": c("id")}),
+                 R.projection(mk(T, "iii100"), {"k2": c("id")}),
+                 on=["k1"], right_on=["k2"]),
+             {"k": c("sid") + L(5), "sid": c("sid")}),
+         R.projection(mk(T, "iii100"),
+                      {"id3": c("id"), "a3": c("a"), "b3": c("b"),
+                       "c3": c("c")}),
+         on=["k"], right_on=["id3"]).select_columns(
+             ["sid", "a3", "b3", "c3"]),
+     "SELECT s1.sid, t3.a AS a3, t3.b AS b3, t3.c AS c3 FROM "
+     "(SELECT t1.id AS sid FROM id_int_int_int_100 t1 JOIN "
+     "id_int_int_int_100 t2 ON t1.id + 1 = t2.id) s1, "
+     "id_int_int_int_100 t3 WHERE s1.sid + 5 = t3.id"),
+    # -- VIEWS (queries.sql:355-361) ----------------------------------
+    ("view_count_distinct", _view_count_distinct,
+     "DROP VIEW IF EXISTS count_view1; CREATE VIEW count_view1 AS "
+     "SELECT a, COUNT(DISTINCT b) AS cd FROM id_int_int_int_100 "
+     "GROUP BY a; SELECT * FROM count_view1"),
+    ("view_filtered", _view_filtered,
+     "DROP VIEW IF EXISTS count_view2; CREATE VIEW count_view2 AS "
+     "SELECT a, COUNT(DISTINCT b) AS cd FROM id_int_int_int_100 "
+     "GROUP BY a; SELECT * FROM count_view2 WHERE a > 10"),
+    ("view_renamed_cols", _view_renamed_cols,
+     "DROP VIEW IF EXISTS count_view3; CREATE VIEW count_view3 "
+     "(foo, bar) AS SELECT a, COUNT(DISTINCT b) AS cd FROM "
+     "id_int_int_int_100 GROUP BY a; "
+     "SELECT * FROM count_view3 WHERE foo > 10"),
+    ("view_alias_pair", _view_alias_pair,
+     "DROP VIEW IF EXISTS alias_view; CREATE VIEW alias_view AS "
+     "SELECT a AS a1, a AS a2 FROM id_int_int_int_100 WHERE a > 10; "
+     "SELECT a1, a2 FROM alias_view"),
+    ("view_join_customer", _view_join_customer,
+     "DROP VIEW IF EXISTS someview; CREATE VIEW someview AS "
+     "SELECT c.*, i.b AS ib, i.c AS ic, i.id AS iid FROM "
+     "tpch_customer c JOIN id_int_int_int_100 i ON c.c_custkey = i.a; "
+     "SELECT * FROM someview"),
+    ("view_reflects_insert", _view_reflects_insert,
+     "DROP VIEW IF EXISTS t6vv; DROP TABLE IF EXISTS t6v; "
+     "CREATE TABLE t6v AS SELECT * FROM id_int_int_int_50; "
+     "CREATE VIEW t6vv AS SELECT * FROM t6v WHERE b < 50; "
+     "INSERT INTO t6v VALUES (999, 1, 2, 3); SELECT * FROM t6vv"),
+    # -- TABLES (queries.sql:362-365) ---------------------------------
+    ("create_if_not_exists", _create_if_not_exists,
+     "DROP TABLE IF EXISTS t6a; CREATE TABLE t6a (a INT); "
+     "INSERT INTO t6a VALUES (1); "
+     "CREATE TABLE IF NOT EXISTS t6a (b INT); SELECT * FROM t6a"),
+    ("create_table_as_join", _create_table_as_join,
+     "DROP TABLE IF EXISTS t6b; CREATE TABLE t6b AS "
+     "SELECT c.*, i.b AS ib, i.c AS ic, i.id AS iid FROM "
+     "tpch_customer c JOIN id_int_int_int_100 i ON c.c_custkey = i.a; "
+     "SELECT * FROM t6b"),
+    # -- TRANSACTIONS (queries.sql:475-481): BEGIN..ROLLBACK = read the
+    # pinned pre-write snapshot version; BEGIN..COMMIT = read current.
+    ("txn_insert_rollback", _txn_insert_rollback,
+     "DROP TABLE IF EXISTS t6t1; CREATE TABLE t6t1 AS SELECT * FROM "
+     "mixed; BEGIN; INSERT INTO t6t1 VALUES "
+     "(999, 'a', 42, 123.456, 'qwer'); ROLLBACK; SELECT * FROM t6t1"),
+    ("txn_insert_commit", _txn_insert_commit,
+     "DROP TABLE IF EXISTS t6t2; CREATE TABLE t6t2 AS SELECT * FROM "
+     "mixed; BEGIN; INSERT INTO t6t2 VALUES "
+     "(999, 'a', 42, 123.456, 'qwer'); COMMIT; SELECT * FROM t6t2"),
+    ("txn_delete_rollback", _txn_delete_rollback,
+     "DROP TABLE IF EXISTS t6t3; CREATE TABLE t6t3 AS SELECT * FROM "
+     "id_int_int_int_100; BEGIN; DELETE FROM t6t3 WHERE a > 9000; "
+     "ROLLBACK; SELECT * FROM t6t3"),
+    ("txn_delete_commit", _txn_delete_commit,
+     "DROP TABLE IF EXISTS t6t4; CREATE TABLE t6t4 AS SELECT * FROM "
+     "id_int_int_int_100; BEGIN; DELETE FROM t6t4 WHERE id > 90; "
+     "COMMIT; SELECT * FROM t6t4"),
 ]
 
 
