@@ -172,12 +172,25 @@ def insert_into(root: str, name: str, ds: Dataset | pa.Table) -> int:
     return v
 
 
-def delete_where(root: str, name: str, predicate) -> int:
+def delete_where(root: str, name: str, predicate=None) -> int:
     """Delete (delete.cpp): matching rows vanish from the next version.
     Streams the snapshot through an inverted table_scan into new files
-    (see module note on partition-pruned rewrites at scale)."""
+    (see module note on partition-pruned rewrites at scale).
+    ``predicate=None`` is ``DELETE FROM t`` — truncate to an empty
+    version (schema preserved)."""
     tdir = _table_dir(root, name)
     m = _manifest(root, name)
+    if predicate is None:
+        # truncate: take the schema from a committed data file (a
+        # zero-row Dataset loses its schema on materialize)
+        sch = pq.ParquetFile(os.path.join(tdir, m["files"][0])).schema_arrow
+        sub = f"data-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(tdir, sub)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(sch.empty_table(), os.path.join(out, "empty.parquet"))
+        v = m["version"] + 1
+        _commit(tdir, v, [os.path.join(sub, "empty.parquet")], 0)
+        return v
     kept = table_scan(read_table(root, name), ~predicate)
     files, rows = _write_data_files(tdir, kept)
     v = m["version"] + 1
@@ -196,7 +209,9 @@ def update_where(root: str, name: str, predicate, assignments: dict) -> int:
     m = _manifest(root, name)
 
     def apply(batch: pa.Table) -> pa.Table:
-        mask = pc.fill_null(predicate(batch), False)
+        # predicate=None is UPDATE without WHERE: every row matches
+        mask = pa.array([True] * batch.num_rows) if predicate is None \
+            else pc.fill_null(predicate(batch), False)
         # SQL UPDATE evaluates EVERY right-hand side against the OLD
         # row (a,b = b,a swaps); compute all values first, then assign
         values = {}

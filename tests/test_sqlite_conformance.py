@@ -299,6 +299,139 @@ def _txn_delete_commit(T):
     return W.read_table(root, "t")
 
 
+# -- tranche 7 builders: the remaining DELETE / UPDATE / INSERT
+# statement shapes (queries.sql:317-353)
+def _cast_to(schema):
+    return lambda b: b.select(schema.names).cast(schema)
+
+
+def _dml_delete_all_insert(T):
+    root = _dml_root()
+    tab = T["iii100"]
+    W.create_table(root, "t", tab)
+    W.delete_where(root, "t")  # DELETE FROM t (no WHERE)
+    W.insert_into(root, "t", pa.table(
+        {"id": [1], "a": [2], "b": [3], "c": [4]}).cast(tab.schema))
+    return W.read_table(root, "t")
+
+
+def _dml_delete_two_steps(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.delete_where(root, "t", c("a") > L(40))
+    W.delete_where(root, "t", c("b") < L(20))
+    return W.read_table(root, "t")
+
+
+def _dml_delete_scalar_subquery(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    min_a = int(_scalar(R.aggregate(W.read_table(root, "t"), [],
+                                    {"m": R.agg("min", "a")}), "m"))
+    W.delete_where(root, "t",
+                   (c("a") == L(5)) | (c("b") == L(6))
+                   | ((c("a") > L(2)) & (c("b") > L(80)))
+                   | (c("a") == L(min_a)))
+    return W.read_table(root, "t")
+
+
+def _dml_update_no_where(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", None, {"a": c("a") + L(1)})
+    return W.read_table(root, "t")
+
+
+def _dml_update_expr_rhs(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", c("id") > L(50),
+                   {"a": c("b") + c("c") + L(3)})
+    return W.read_table(root, "t")
+
+
+def _dml_update_no_match(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", c("id") > L(1000 * 1000),
+                   {"a": c("b") + c("c") + L(3)})
+    return W.read_table(root, "t")
+
+
+def _dml_update_const(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", c("id") > L(20), {"id": L(0)})
+    return W.read_table(root, "t")
+
+
+def _dml_update_swap_shift(T):
+    root = _dml_root()
+    W.create_table(root, "t", T["iii100"])
+    W.update_where(root, "t", c("id") > L(20),
+                   {"id": c("a") - L(1), "a": c("b"), "b": c("c"),
+                    "c": c("id") + L(1)})
+    return W.read_table(root, "t")
+
+
+def _dml_insert_nulls(T):
+    root = _dml_root()
+    tab = T["mixed_null"]
+    W.create_table(root, "t", tab)
+    W.insert_into(root, "t", pa.table(
+        {"a": ["Hello"], "b": pa.array([None], pa.int64()),
+         "c": [3.3], "d": ["World"]}).cast(tab.schema))
+    W.insert_into(root, "t", pa.table(
+        {"a": ["Hello"], "b": pa.array([None], pa.int64()),
+         "c": [3.3], "d": pa.array([None], pa.string())}).cast(tab.schema))
+    return W.read_table(root, "t")
+
+
+def _dml_insert_col_order(T):
+    root = _dml_root()
+    tab = T["iii100"]
+    W.create_table(root, "t", tab)
+    # INSERT INTO t (id, c, b, a) VALUES (100, 3, 2, 1): named-column
+    # order differs from the table's — map names, then cast to schema
+    row = pa.table({"id": [100], "c": [3], "b": [2], "a": [1]})
+    W.insert_into(root, "t", row.select(tab.schema.names).cast(tab.schema))
+    return W.read_table(root, "t")
+
+
+def _dml_insert_three(T):
+    root = _dml_root()
+    tab = T["iii100"]
+    W.create_table(root, "t", tab)
+    for vals in [(100, 1, 2, 3), (101, 3, 2, 1), (102, 42, 77992, 1000000)]:
+        W.insert_into(root, "t", pa.table(
+            dict(zip(["id", "a", "b", "c"],
+                     [[v] for v in vals]))).cast(tab.schema))
+    return W.read_table(root, "t")
+
+
+def _dml_insert_literal_proj(T):
+    root = _dml_root()
+    tab = T["iii100"]
+    W.create_table(root, "t", tab)
+    # INSERT INTO t SELECT 100, 1, 2, 3 FROM t: one copy per table row
+    proj = R.projection(W.read_table(root, "t"),
+                        {"id": L(100), "a": L(1), "b": L(2), "c": L(3)})
+    W.insert_into(root, "t", proj.map_batches(
+        _cast_to(tab.schema), batch_format="pyarrow"))
+    return W.read_table(root, "t")
+
+
+def _dml_insert_select_reorder(T):
+    root = _dml_root()
+    tab = T["mixed_null"]
+    W.create_table(root, "t", tab)
+    sel = R.table_scan(mk(T, "mixed"), c("id") < L(13)) \
+        .select_columns(["b", "c", "a", "d"])
+    W.insert_into(root, "t", sel.map_batches(
+        _cast_to(tab.schema), batch_format="pyarrow"))
+    return W.read_table(root, "t")
+
+
 # --------------------------------------------------------------------
 # (name, builder(tabs) -> Dataset|DataFrame, sql, ordered)
 # Each sql is a statement from sqlite_testrunner_queries.sql (aliases
@@ -2112,6 +2245,222 @@ CASES = [
      "DROP TABLE IF EXISTS t6t4; CREATE TABLE t6t4 AS SELECT * FROM "
      "id_int_int_int_100; BEGIN; DELETE FROM t6t4 WHERE id > 90; "
      "COMMIT; SELECT * FROM t6t4"),
+    # == tranche 7 ====================================================
+    # -- NULL-literal arithmetic in projections (queries.sql:113-115) -
+    ("proj_null_arith_iii",
+     lambda T: R.projection(
+         mk(T, "iii100"),
+         {"a": c("a"), "b": c("b"), "e": c("a") + c("b"),
+          "f": c("a") + c("b") + L(None)}),
+     "SELECT a, b, a+b AS e, a+b+NULL AS f FROM id_int_int_int_100"),
+    ("proj_null_arith_nullable",
+     lambda T: R.projection(
+         mk(T, "mixed_null"),
+         {"a": c("a"), "b": c("b"), "e": c("b") + c("b"),
+          "f": c("b") + c("b") + L(None)}),
+     "SELECT a, b, b+b AS e, b+b+NULL AS f FROM mixed_null"),
+    ("proj_bool_const_disjunct",
+     lambda T: R.projection(
+         mk(T, "mixed"),
+         {"i": ((L(1) + L(5.6)) > L(7)) | (L(2) > L(1))}),
+     "SELECT 1 + 5.6 > 7 OR 2 > 1 AS i FROM mixed"),
+    # -- alias shuffles and count cross products (queries.sql:129-138)
+    ("alias_six_shuffle",
+     lambda T: R.projection(
+         mk(T, "mixed"),
+         {"a1": c("a"), "b2": c("b"), "b3": c("b"), "a3": c("a"),
+          "b1": c("b"), "a2": c("a")}),
+     "SELECT a AS a1, b AS b2, b AS b3, a AS a3, b AS b1, a AS a2 "
+     "FROM mixed"),
+    ("alias_six_reselect",
+     lambda T: R.projection(
+         mk(T, "mixed"), {"a1": c("a"), "b2": c("b"), "a3": c("a")}),
+     "SELECT a1, b2, a3 FROM (SELECT a AS a1, b AS b2, b AS b3, "
+     "a AS a3, b AS b1, a AS a2 FROM mixed) R"),
+    ("alias_counts_cross_counta",
+     lambda T: R.product(
+         R.aggregate(mk(T, "iii50"), [], {"cnt1": R.agg("count", "a")}),
+         pa.concat_tables(ray.get(
+             R.aggregate(mk(T, "iii100"), [],
+                         {"cnt2": R.agg("count", "a")}).to_arrow_refs()),
+             promote_options="permissive")),
+     "SELECT * FROM (SELECT COUNT(a) AS cnt1 FROM id_int_int_int_50) "
+     "s1, (SELECT COUNT(a) AS cnt2 FROM id_int_int_int_100) s2"),
+    ("alias_counts_cross_selfjoin",
+     lambda T: R.product(
+         R.aggregate(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"), {"la": c("a")}),
+                 R.projection(mk(T, "mixed"), {"ra": c("a")}),
+                 on=["la"], right_on=["ra"]),
+             [], {"cnt1": R.agg("count_star")}),
+         pa.concat_tables(ray.get(
+             R.aggregate(
+                 R.hash_join(
+                     R.projection(mk(T, "iii50"), {"la": c("a")}),
+                     R.projection(mk(T, "iii50"), {"ra": c("a")}),
+                     on=["la"], right_on=["ra"]),
+                 [], {"cnt2": R.agg("count_star")}).to_arrow_refs()),
+             promote_options="permissive")),
+     "SELECT * FROM (SELECT COUNT(*) AS cnt1 FROM mixed L, mixed R "
+     "WHERE L.a = R.a) S1, (SELECT COUNT(*) AS cnt2 FROM "
+     "id_int_int_int_50 L, id_int_int_int_50 R WHERE L.a = R.a) S2"),
+    # -- ORDER BY over an ordered derived table (queries.sql:149) -----
+    ("order_subquery_filter_ordered",
+     lambda T: R.sort(
+         R.table_scan(
+             R.projection(R.table_scan(mk(T, "mixed"),
+                                       c("a") == L("a")),
+                          {"a": c("a"), "b": c("b")}),
+             c("b") > L(10)),
+         ["b"], tiebreak=["a"]),
+     "SELECT sub.a, sub.b FROM (SELECT a, b FROM mixed WHERE a = 'a' "
+     "ORDER BY b) sub WHERE sub.b > 10 ORDER BY b, a",
+     True),
+    # -- correlated aggregate subqueries (queries.sql:243-244) --------
+    ("agg_corr_min_eq_b",
+     lambda T: R.projection(
+         R.table_scan(
+             R.hash_join(
+                 mk(T, "iii100"),
+                 R.aggregate(
+                     R.projection(mk(T, "iii50"),
+                                  {"b": c("b"), "sa": c("a")}),
+                     ["b"], {"mn": R.agg("min", "sa")}),
+                 on=["b"]),
+             c("a") >= c("mn")),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")}),
+     "SELECT * FROM id_int_int_int_100 r WHERE a >= "
+     "(SELECT MIN(s.a) FROM id_int_int_int_50 s WHERE s.b = r.b)"),
+    ("agg_corr_sum_of_mins",
+     lambda T: R.projection(
+         R.table_scan(
+             R.hash_join(
+                 mk(T, "iii100"),
+                 R.aggregate(
+                     R.aggregate(
+                         R.projection(mk(T, "iii50"),
+                                      {"b": c("b"), "sc": c("c"),
+                                       "sa": c("a")}),
+                         ["b", "sc"], {"mn": R.agg("min", "sa")}),
+                     ["b"], {"sm": R.agg("sum", "mn")}),
+                 on=["b"]),
+             c("a") < c("sm")),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")}),
+     "SELECT * FROM id_int_int_int_100 r WHERE a < (SELECT SUM(min_a) "
+     "FROM (SELECT MIN(s.a) AS min_a FROM id_int_int_int_50 s WHERE "
+     "s.b = r.b GROUP BY s.c) min_a_per_c)"),
+    # -- COUNT variants (queries.sql:272-285) -------------------------
+    ("count_star_from_select_one",
+     lambda T: pd.DataFrame({"n": [_one().count()]}),
+     "SELECT COUNT(*) AS n FROM (SELECT 1) t"),
+    ("count_star_cross_two_tables",
+     lambda T: R.aggregate(
+         R.product(R.projection(mk(T, "iii50"), {"la": c("a")}),
+                   pa.table({"ra": T["iii100"].column("a")})),
+         [], {"n": R.agg("count_star")}),
+     "SELECT COUNT(*) AS n FROM id_int_int_int_50, id_int_int_int_100"),
+    ("count_expr_one",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed"), {"one": L(1)}),
+         [], {"n": R.agg("count", "one")}),
+     "SELECT COUNT(1) AS n FROM mixed"),
+    ("count_expr_b_plus_c",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed_null"), {"v": c("b") + c("c")}),
+         [], {"n": R.agg("count", "v")}),
+     "SELECT COUNT(b + c) AS n FROM mixed_null"),
+    ("count_expr_grouped_one",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed"), {"a": c("a"), "one": L(1)}),
+         ["a"], {"n": R.agg("count", "one")}),
+     "SELECT a, COUNT(1) AS n FROM mixed GROUP BY a"),
+    ("count_expr_grouped_shift",
+     lambda T: R.aggregate(
+         R.projection(mk(T, "mixed_null"),
+                      {"k": c("b") + L(1), "v": c("c") + L(1)}),
+         ["k"], {"n": R.agg("count", "v")}),
+     "SELECT b + 1 AS k, COUNT(c + 1) AS n FROM mixed_null "
+     "GROUP BY b + 1"),
+    # -- ordered aggregate over NULL groups (queries.sql:295) ---------
+    ("agg_null_max_ordered",
+     lambda T: R.sort(
+         R.aggregate(mk(T, "mixed_null"), ["a"],
+                     {"mb": R.agg("max", "b")}),
+         ["mb", "a"], descending=[False, True], nulls_first=False),
+     "SELECT a, MAX(b) AS mb FROM mixed_null GROUP BY a "
+     "ORDER BY MAX(b), a DESC",
+     True),
+    # -- HAVING over an aggregate of an expression (queries.sql:308) --
+    ("having_agg_expr",
+     lambda T: R.table_scan(
+         R.aggregate(
+             R.projection(mk(T, "mixed"),
+                          {"a": c("a"), "b": c("b"), "cc": c("c"),
+                           "h": c("b") * L(0.8) + c("c") * L(0.01)}),
+             ["a", "b"],
+             {"mb": R.agg("max", "b"), "ac": R.agg("avg", "cc"),
+              "mh": R.agg("max", "h")}),
+         (c("mb") >= L(10)) & (c("mh") < L(40))).drop_columns(["mh"]),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY "
+     "a, b HAVING MAX(b) >= 10 AND MAX(b*0.8+c*0.01) < 40"),
+    # -- DELETE statement shapes (queries.sql:317-323) ----------------
+    ("dml_delete_all_insert", _dml_delete_all_insert,
+     "DROP TABLE IF EXISTS t7a; CREATE TABLE t7a AS SELECT * FROM "
+     "id_int_int_int_100; DELETE FROM t7a; INSERT INTO t7a VALUES "
+     "(1, 2, 3, 4); SELECT * FROM t7a"),
+    ("dml_delete_two_steps", _dml_delete_two_steps,
+     "DROP TABLE IF EXISTS t7b; CREATE TABLE t7b AS SELECT * FROM "
+     "id_int_int_int_100; DELETE FROM t7b WHERE a > 40; "
+     "DELETE FROM t7b WHERE b < 20; SELECT * FROM t7b"),
+    ("dml_delete_scalar_subquery", _dml_delete_scalar_subquery,
+     "DROP TABLE IF EXISTS t7c; CREATE TABLE t7c AS SELECT * FROM "
+     "id_int_int_int_100; DELETE FROM t7c WHERE a = 5 OR b = 6 OR "
+     "(a > 2 AND b > 80) OR (a = (SELECT MIN(a) FROM t7c)); "
+     "SELECT * FROM t7c"),
+    # -- UPDATE statement shapes (queries.sql:326-332) ----------------
+    ("dml_update_no_where", _dml_update_no_where,
+     "DROP TABLE IF EXISTS t7d; CREATE TABLE t7d AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t7d SET a = a + 1; SELECT * FROM t7d"),
+    ("dml_update_expr_rhs", _dml_update_expr_rhs,
+     "DROP TABLE IF EXISTS t7e; CREATE TABLE t7e AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t7e SET a = b + c + 3 WHERE "
+     "id > 10 * 5; SELECT * FROM t7e"),
+    ("dml_update_no_match", _dml_update_no_match,
+     "DROP TABLE IF EXISTS t7f; CREATE TABLE t7f AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t7f SET a = b + c + 3 WHERE "
+     "id > 1000 * 1000; SELECT * FROM t7f"),
+    ("dml_update_const", _dml_update_const,
+     "DROP TABLE IF EXISTS t7g; CREATE TABLE t7g AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t7g SET id = 0 WHERE id > 20; "
+     "SELECT * FROM t7g"),
+    ("dml_update_swap_shift", _dml_update_swap_shift,
+     "DROP TABLE IF EXISTS t7h; CREATE TABLE t7h AS SELECT * FROM "
+     "id_int_int_int_100; UPDATE t7h SET id = a - 1, a = b, b = c, "
+     "c = id + 1 WHERE id > 20; SELECT * FROM t7h"),
+    # -- INSERT statement shapes (queries.sql:334-352) ----------------
+    ("dml_insert_nulls", _dml_insert_nulls,
+     "DROP TABLE IF EXISTS t7i; CREATE TABLE t7i AS SELECT * FROM "
+     "mixed_null; INSERT INTO t7i VALUES ('Hello', NULL, 3.3, "
+     "'World'); INSERT INTO t7i VALUES ('Hello', NULL, 3.3, NULL); "
+     "SELECT * FROM t7i"),
+    ("dml_insert_col_order", _dml_insert_col_order,
+     "DROP TABLE IF EXISTS t7j; CREATE TABLE t7j AS SELECT * FROM "
+     "id_int_int_int_100; INSERT INTO t7j (id, c, b, a) VALUES "
+     "(100, 3, 2, 1); SELECT * FROM t7j"),
+    ("dml_insert_three", _dml_insert_three,
+     "DROP TABLE IF EXISTS t7k; CREATE TABLE t7k AS SELECT * FROM "
+     "id_int_int_int_100; INSERT INTO t7k VALUES (100, 1, 2, 3); "
+     "INSERT INTO t7k VALUES (101, 3, 2, 1); INSERT INTO t7k VALUES "
+     "(102, 42, 77992, 1000000); SELECT * FROM t7k"),
+    ("dml_insert_literal_proj", _dml_insert_literal_proj,
+     "DROP TABLE IF EXISTS t7l; CREATE TABLE t7l AS SELECT * FROM "
+     "id_int_int_int_100; INSERT INTO t7l SELECT 100, 1, 2, 3 FROM "
+     "t7l; SELECT * FROM t7l"),
+    ("dml_insert_select_reorder", _dml_insert_select_reorder,
+     "DROP TABLE IF EXISTS t7m; CREATE TABLE t7m AS SELECT * FROM "
+     "mixed_null; INSERT INTO t7m (b, c, a, d) SELECT b, c, a, d "
+     "FROM mixed WHERE id < 13; SELECT * FROM t7m"),
 ]
 
 
