@@ -71,30 +71,19 @@ def compute_signatures(
     )
 
 
-def _edge_branches(
+def _edge_branch_builders(
     signatures: Dataset,
     cfg: SignatureConfig,
     eng: EngineConfig,
     num_partitions: int,
     join_partitions: int,
     metrics: dict,
-) -> Dataset:
-    """Run the three edge branches (exact, LSH→verify, substring)
-    CONCURRENTLY on driver threads and return the union of their
-    materialized edge Datasets.
-
-    Each branch is its own Dataset execution (own StreamingExecutor);
-    running them from separate threads lets Ray interleave their tasks,
-    so one branch's narrow tail (small groupbys, join aggregator
-    spawns) overlaps another branch's wide middle instead of leaving
-    most of the cluster idle between sequential ``materialize()``
-    calls — this was the single largest scaling-efficiency loss in the
-    sequential revision (fusing the graphs into one union pipeline is
-    NOT equivalent: the sort-based map_groups stages block on boundary
-    sampling inside one executor's scheduling loop and can deadlock it
-    under tight CPU budgets; three independent executors cannot)."""
-    from concurrent.futures import ThreadPoolExecutor
-
+) -> dict:
+    """The three edge-branch thunks (exact, LSH→verify, substring),
+    each returning its materialized edge Dataset.  Exposed separately
+    so the checkpointed runner can persist each branch under its own
+    lineage manifest (a crash mid-substring resumes with the exact and
+    near branches skipped) while the in-memory runner unions them."""
     # the fused verify exchange melts doc_id/text straight out of the
     # materialized signer blocks — no select_columns projection pass
     docs = signatures
@@ -137,9 +126,38 @@ def _edge_branches(
         metrics["t_substr_s"] = round(time.perf_counter() - t, 3)
         return ds
 
+    return {"exact": run_exact, "near": run_lsh_verify,
+            "substr": run_substr}
+
+
+def _edge_branches(
+    signatures: Dataset,
+    cfg: SignatureConfig,
+    eng: EngineConfig,
+    num_partitions: int,
+    join_partitions: int,
+    metrics: dict,
+) -> Dataset:
+    """Run the three edge branches CONCURRENTLY on driver threads and
+    return the union of their materialized edge Datasets.
+
+    Each branch is its own Dataset execution (own StreamingExecutor);
+    running them from separate threads lets Ray interleave their tasks,
+    so one branch's narrow tail (small groupbys, join aggregator
+    spawns) overlaps another branch's wide middle instead of leaving
+    most of the cluster idle between sequential ``materialize()``
+    calls — this was the single largest scaling-efficiency loss in the
+    sequential revision (fusing the graphs into one union pipeline is
+    NOT equivalent: the sort-based map_groups stages block on boundary
+    sampling inside one executor's scheduling loop and can deadlock it
+    under tight CPU budgets; three independent executors cannot)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = _edge_branch_builders(signatures, cfg, eng,
+                                     num_partitions, join_partitions,
+                                     metrics)
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futures = [pool.submit(f)
-                   for f in (run_exact, run_lsh_verify, run_substr)]
+        futures = [pool.submit(b) for b in builders.values()]
         exact, near, substr = [f.result() for f in futures]
     return exact.union(near).union(substr)
 
@@ -376,17 +394,31 @@ def run_dedup_checkpointed(
 
     t1 = time.perf_counter()
 
-    def build_edges() -> Dataset:
-        jp = min(num_partitions,
-                 max(4, min(eng.join_partition_cap,
-                            int(ray.cluster_resources().get("CPU", 8)) // 2)))
-        return _edge_branches(signatures, cfg, eng, num_partitions, jp,
-                              metrics)
+    # each edge branch (exact / LSH→verify / substring) checkpoints
+    # under its OWN lineage manifest, still overlapped on driver
+    # threads: a crash mid-substring (the longest branch at scale)
+    # resumes with the exact and near branches skipped
+    from concurrent.futures import ThreadPoolExecutor
 
-    edges, resumed_edges = checkpoint_stage(
-        "edges", ckpt_dir, eng_hash, in_fp, build_edges,
-    )
-    metrics["resumed_edges"] = resumed_edges
+    jp = min(num_partitions,
+             max(4, min(eng.join_partition_cap,
+                        int(ray.cluster_resources().get("CPU", 8)) // 2)))
+    builders = _edge_branch_builders(signatures, cfg, eng,
+                                     num_partitions, jp, metrics)
+
+    def run_branch(name: str, build) -> tuple[Dataset, bool]:
+        return checkpoint_stage(f"edges_{name}", ckpt_dir, eng_hash,
+                                in_fp, build)
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futs = {n: pool.submit(run_branch, n, b)
+                for n, b in builders.items()}
+        branch_out = {n: f.result() for n, f in futs.items()}
+    edges = functools.reduce(lambda a, b: a.union(b),
+                             [ds for ds, _ in branch_out.values()])
+    metrics["resumed_edges"] = all(r for _, r in branch_out.values())
+    metrics["edge_branches_resumed"] = {n: r for n, (_, r)
+                                        in branch_out.items()}
     metrics["edges"] = edges.count()
     metrics["t_edges_s"] = round(time.perf_counter() - t1, 3)
 

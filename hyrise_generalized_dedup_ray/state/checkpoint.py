@@ -32,6 +32,31 @@ from typing import Callable
 import ray
 from ray.data import Dataset
 
+# ray.data.read_parquet's path resolution probes
+# fsspec.implementations.http on EVERY call (aiohttp is absent here, so
+# the probe import fails, gets cleaned from sys.modules, and is
+# re-attempted next call).  Two driver threads probing at once race the
+# partial import: the loser resolves the half-initialized module and
+# raises plain ImportError on the HTTPFileSystem name, which ray's
+# `except ModuleNotFoundError` does not catch.  When the real import is
+# unavailable, pin a sentinel module so the probe resolves
+# deterministically (the sentinel class matches no real filesystem, so
+# ray correctly treats every filesystem as non-HTTP; this sandbox has
+# no network, so nothing can want the real one).
+try:  # pragma: no cover - environment-dependent
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+except Exception:  # pragma: no cover
+    import sys as _sys
+    import types as _types
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _SentinelHTTPFileSystem:
+        """aiohttp absent: no object is ever an instance of this."""
+
+    _stub.HTTPFileSystem = _SentinelHTTPFileSystem
+    _sys.modules.setdefault("fsspec.implementations.http", _stub)
+
 ENGINE_VERSION = "0.1.0"
 MANIFEST = "_lineage.json"
 
@@ -83,6 +108,17 @@ def checkpoint_stage(
     files = sorted(
         f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
     )
+    if not files:
+        # a zero-row stage (e.g. an edge branch that found nothing)
+        # writes no files; persist an empty typed file so the resume
+        # read and downstream unions keep the schema
+        import pyarrow.parquet as pq
+        sch = ds.schema()
+        sch = getattr(sch, "base_schema", sch)
+        if sch is not None:
+            pq.write_table(sch.empty_table(),
+                           os.path.join(tmp_dir, "empty.parquet"))
+            files = ["empty.parquet"]
     rows = ray.data.read_parquet(tmp_dir).count() if files else 0
     manifest = {
         "stage": stage,

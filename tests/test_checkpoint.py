@@ -110,7 +110,9 @@ dd.run_dedup_checkpointed({path!r}, {ckpt!r}, num_partitions=4)
                           capture_output=True, timeout=300)
     assert proc.returncode == 9, proc.stderr.decode()[-2000:]
     assert load_manifest(os.path.join(ckpt, "signatures")) is not None
-    assert load_manifest(os.path.join(ckpt, "edges")) is not None
+    for branch in ("exact", "near", "substr"):
+        assert load_manifest(os.path.join(ckpt, f"edges_{branch}")) \
+            is not None
     assert load_manifest(os.path.join(ckpt, "labels")) is None
 
     labels, m = run_dedup_checkpointed(path, ckpt, num_partitions=4)
@@ -118,6 +120,62 @@ dd.run_dedup_checkpointed({path!r}, {ckpt!r}, num_partitions=4)
     assert not m["resumed_labels"]
 
     clean, _ = run_dedup_checkpointed(path, str(tmp_path / "cleanrun"),
+                                      num_partitions=4)
+    a = labels.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = clean.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+
+
+def test_flagship_resumes_mid_edge_branch(ray_session, tmp_path):
+    """Branch-granular resume: a subprocess dies inside the SUBSTRING
+    edge branch after the exact and near branches committed their
+    checkpoints.  The fresh run must skip those two branches (their
+    manifests resume), rebuild only the substring branch, and match an
+    uninterrupted run's clusters."""
+    import subprocess
+    import sys
+
+    fixture_dir = pages_parquet_dir(300, seed=11, root=str(tmp_path / "fx"))
+    path = os.path.join(fixture_dir, "pages")
+    ckpt = str(tmp_path / "killbranch")
+
+    script = f"""
+import os, sys, time
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import ray
+ray.init(num_cpus=4, include_dashboard=False, logging_level="ERROR")
+import hyrise_generalized_dedup_ray.pipelines.dedup as dd
+from hyrise_generalized_dedup_ray.state.checkpoint import load_manifest
+
+def boom(*a, **k):
+    # die only after the sibling branches committed, so the resume
+    # test exercises a genuinely partial edges stage
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if (load_manifest(os.path.join({ckpt!r}, "edges_exact"))
+                and load_manifest(os.path.join({ckpt!r}, "edges_near"))):
+            os._exit(9)
+        time.sleep(0.5)
+    os._exit(7)
+
+dd.substring_edges = boom
+dd.run_dedup_checkpointed({path!r}, {ckpt!r}, num_partitions=4)
+"""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, timeout=300)
+    assert proc.returncode == 9, proc.stderr.decode()[-2000:]
+    assert load_manifest(os.path.join(ckpt, "edges_exact")) is not None
+    assert load_manifest(os.path.join(ckpt, "edges_near")) is not None
+    assert load_manifest(os.path.join(ckpt, "edges_substr")) is None
+
+    labels, m = run_dedup_checkpointed(path, ckpt, num_partitions=4)
+    assert m["edge_branches_resumed"] == {
+        "exact": True, "near": True, "substr": False}
+    assert not m["resumed_edges"]
+
+    clean, _ = run_dedup_checkpointed(path, str(tmp_path / "cleanb"),
                                       num_partitions=4)
     a = labels.to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = clean.to_pandas().sort_values("doc_id").reset_index(drop=True)
