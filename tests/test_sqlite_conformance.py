@@ -2461,6 +2461,124 @@ CASES = [
      "DROP TABLE IF EXISTS t7m; CREATE TABLE t7m AS SELECT * FROM "
      "mixed_null; INSERT INTO t7m (b, c, a, d) SELECT b, c, a, d "
      "FROM mixed WHERE id < 13; SELECT * FROM t7m"),
+    # == tranche 8 ====================================================
+    # -- OR-of-EXISTS (predicate split-up, queries.sql:95-96) ---------
+    ("exists_or_exists_2way",
+     lambda T: R.union_distinct(
+         R.semi_join(mk(T, "mixed"),
+                     R.projection(mk(T, "iii50"), {"k": c("b")}),
+                     on=["b"], right_on=["k"]),
+         R.semi_join(mk(T, "mixed"),
+                     R.projection(mk(T, "iii100"), {"k": c("b")}),
+                     on=["b"], right_on=["k"])),
+     "SELECT * FROM mixed a WHERE EXISTS (SELECT * FROM "
+     "id_int_int_int_50 b WHERE b.b = a.b) OR EXISTS (SELECT * FROM "
+     "id_int_int_int_100 cc WHERE cc.b = a.b)"),
+    ("exists_or_chain_4way",
+     lambda T: (lambda semis: R.union_distinct(
+         R.union_distinct(semis[0], semis[1]),
+         R.union_distinct(semis[2], semis[3])))(
+         [R.semi_join(mk(T, "mixed"),
+                      R.projection(mk(T, "iii50"), {"k": c("b") + L(i)}),
+                      on=["b"], right_on=["k"]) for i in range(4)]),
+     "SELECT * FROM mixed a WHERE "
+     "EXISTS (SELECT * FROM id_int_int_int_50 b WHERE b.b = a.b) OR "
+     "EXISTS (SELECT * FROM id_int_int_int_50 cc WHERE cc.b + 1 = a.b)"
+     " OR EXISTS (SELECT * FROM id_int_int_int_50 d WHERE "
+     "d.b + 2 = a.b) OR EXISTS (SELECT * FROM id_int_int_int_50 e "
+     "WHERE e.b + 3 = a.b)"),
+    # -- predicate merge scans (queries.sql:98-100) --------------------
+    ("scan_or_and_ranges",
+     lambda T: R.table_scan(
+         mk(T, "mixed"),
+         ((c("b") > L(10)) | (c("b") < L(8)))
+         & ((c("c") <= L(7)) | (c("c") == L(11)))),
+     "SELECT * FROM mixed WHERE (b > 10 OR b < 8) AND "
+     "(c <= 7 OR 11 = c)"),
+    ("derived_complex_or",
+     lambda T: R.table_scan(
+         R.projection(R.table_scan(mk(T, "mixed"),
+                                   (c("b") < c("c")) & (c("b") == L(19))),
+                      {"b": c("b"), "c": c("c")}),
+         (((c("b") > L(10)) | (c("b") < L(8)))
+          & ((c("c") <= L(60)) | (c("c") == L(11))))
+         | ((c("b") == L(5)) & (c("c") == L(7)) & (L(13) == L(13)))),
+     "SELECT * FROM (SELECT b, c FROM mixed WHERE b < c AND b = 19) r "
+     "WHERE (b > 10 OR b < 8) AND (c <= 60 OR 11 = c) OR "
+     "((b = 5 AND c = 7) AND 13 = 13)"),
+    ("scan_const_or_col",
+     lambda T: R.projection(
+         R.table_scan(mk(T, "mixed"),
+                      ((L(2) > L(1)) | (L(2) > L(0))) & (c("b") == L(1))),
+         {"b": c("b")}),
+     "SELECT b FROM mixed WHERE (2 > 1 OR 2 > 0) AND b = 1"),
+    # -- IN over column expressions and correlated subqueries
+    #    (queries.sql:421,425-434)
+    ("in_expr_list_cols",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         (c("a") == (c("b") - L(48))) | (c("a") == (c("b") + L(1)))),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (b - 48, b + 1)"),
+    ("in_corr_eq",
+     lambda T: R.semi_join(mk(T, "iii100"),
+                           mk(T, "iii50").select_columns(["a", "b"]),
+                           on=["a", "b"]),
+     "SELECT * FROM id_int_int_int_100 r WHERE a IN "
+     "(SELECT s.a FROM id_int_int_int_50 s WHERE s.b = r.b)"),
+    ("in_corr_ne",
+     lambda T: R.exists_join(
+         mk(T, "iii100"),
+         R.projection(mk(T, "iii50"), {"sa": c("a"), "sb": c("b")}),
+         on=["a"], right_on=["sa"], residual=c("sb") != c("b")),
+     "SELECT * FROM id_int_int_int_100 r WHERE a IN "
+     "(SELECT s.a FROM id_int_int_int_50 s WHERE s.b <> r.b)"),
+    ("in_corr_lt",
+     lambda T: R.exists_join(
+         mk(T, "iii100"),
+         R.projection(mk(T, "iii50"), {"sa": c("a"), "sb": c("b")}),
+         on=["a"], right_on=["sa"], residual=c("sb") < c("b")),
+     "SELECT * FROM id_int_int_int_100 r WHERE a IN "
+     "(SELECT s.a FROM id_int_int_int_50 s WHERE s.b < r.b)"),
+    ("in_corr_computed_plus2",
+     lambda T: R.exists_join(
+         mk(T, "iii100"),
+         R.projection(mk(T, "iii50"),
+                      {"sa2": c("a") + L(2), "sb": c("b")}),
+         on=["a"], right_on=["sa2"], residual=c("sb") < c("b")),
+     "SELECT * FROM id_int_int_int_100 r WHERE a IN "
+     "(SELECT s.a + 2 FROM id_int_int_int_50 s WHERE s.b < r.b)"),
+    ("not_in_corr_eq",
+     lambda T: R.anti_join(mk(T, "iii100"),
+                           mk(T, "iii50").select_columns(["a", "b"]),
+                           on=["a", "b"]),
+     "SELECT * FROM id_int_int_int_100 r WHERE a NOT IN "
+     "(SELECT a FROM id_int_int_int_50 s WHERE s.b = r.b)"),
+    ("not_in_corr_lt",
+     lambda T: R.exists_join(
+         mk(T, "iii100"),
+         R.projection(mk(T, "iii50"), {"sa": c("a"), "sb": c("b")}),
+         on=["a"], right_on=["sa"], residual=c("sb") < c("b"),
+         negate=True),
+     "SELECT * FROM id_int_int_int_100 r WHERE a NOT IN "
+     "(SELECT a FROM id_int_int_int_50 s WHERE s.b < r.b)"),
+    ("in_nested_two_level",
+     lambda T: R.semi_join(
+         mk(T, "iii100"),
+         R.semi_join(mk(T, "iii50").select_columns(["a"]),
+                     R.projection(mk(T, "mixed"), {"k": c("b")}),
+                     on=["a"], right_on=["k"]),
+         on=["a"]),
+     "SELECT * FROM id_int_int_int_100 WHERE a IN (SELECT a FROM "
+     "id_int_int_int_50 WHERE a IN (SELECT b FROM mixed))"),
+    ("in_corr_two_conds",
+     lambda T: R.exists_join(
+         mk(T, "iii100"),
+         R.projection(mk(T, "iii50"),
+                      {"sa": c("a"), "sb": c("b"), "sc": c("c")}),
+         on=["a"], right_on=["sa"],
+         residual=(c("sb") == c("b")) & (c("sc") < c("c"))),
+     "SELECT * FROM id_int_int_int_100 r WHERE a IN (SELECT s.a FROM "
+     "id_int_int_int_50 s WHERE s.b = r.b AND s.c < r.c)"),
 ]
 
 
