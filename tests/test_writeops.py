@@ -89,3 +89,49 @@ def test_create_duplicate_rejected(ray_session, root):
     W.create_table(root, "t", T0)
     with pytest.raises(ValueError):
         W.create_table(root, "t", T0)
+
+
+def test_create_if_not_exists_keeps_first_table(ray_session, root):
+    W.create_table(root, "t", T0)
+    # second CREATE with a different schema is a no-op, not an error
+    W.create_table(root, "t", schema=pa.schema([("b", pa.int32())]),
+                   if_not_exists=True)
+    assert W.read_table(root, "t").count() == 3
+    with pytest.raises(ValueError):
+        W.create_table(root, "t", T0)
+
+
+def test_truncate_then_insert(ray_session, root):
+    W.create_table(root, "t", T0)
+    v = W.delete_where(root, "t")  # DELETE FROM t (no WHERE)
+    assert v == 1 and W.read_table(root, "t").count() == 0
+    # schema survives the truncate: typed inserts continue
+    W.insert_into(root, "t", T0)
+    assert W.read_table(root, "t").count() == 3
+
+
+def test_view_catalog_semantics(ray_session, root):
+    W.create_table(root, "base", T0)
+    name = f"v_{os.path.basename(root)}"
+    W.create_view(name, lambda: W.read_table(root, "base"))
+    assert W.has_view(name) and name in W.view_names()
+    with pytest.raises(ValueError):
+        W.create_view(name, lambda: W.read_table(root, "base"))
+    # a view is a deferred plan: base-table writes show through it
+    assert W.read_view(name).count() == 3
+    W.insert_into(root, "base", pa.table({"k": [4], "v": [40.0]}))
+    assert W.read_view(name).count() == 4
+    # column aliases rename the output; arity must match
+    W.create_view(name, lambda: W.read_table(root, "base"),
+                  columns=["kk", "vv"], or_replace=True)
+    assert W.read_view(name).schema().names == ["kk", "vv"]
+    W.create_view(name + "_bad", lambda: W.read_table(root, "base"),
+                  columns=["only_one"])
+    with pytest.raises(ValueError):
+        W.read_view(name + "_bad")
+    W.drop_view(name + "_bad")
+    W.drop_view(name)
+    assert not W.has_view(name)
+    with pytest.raises(ValueError):
+        W.drop_view(name)
+    W.drop_view(name, if_exists=True)  # no-op
