@@ -19,6 +19,13 @@ multi-predicate, OR join predicates, derived-table computed keys),
 EXISTS/NOT EXISTS (incl. scalar and nested forms), scalar subqueries,
 VIEWs, CREATE TABLE IF NOT EXISTS / AS SELECT, and the
 BEGIN..ROLLBACK/COMMIT scripts recast as snapshot-version visibility.
+Tranche 9 adds the remaining families: full-table selects,
+out-of-column-type-range scans, ORDER BY over aliases and aggregate
+expressions, aggregates whose group keys leave the output, HAVING over
+mixed-expression aggregates, uncorrelated/correlated scalar aggregate
+subqueries (incl. the deep-nested t1/t2/t3 MIN statement), mixed-type
+IN lists under SQLite dynamic typing, EXISTS against int_date, and the
+compound-ON LEFT JOIN over the string-keyed tables.
 """
 
 from __future__ import annotations
@@ -430,6 +437,48 @@ def _dml_insert_select_reorder(T):
     W.insert_into(root, "t", sel.map_batches(
         _cast_to(tab.schema), batch_format="pyarrow"))
     return W.read_table(root, "t")
+
+
+# -- tranche 9 builders: the deep-nested correlated MIN statement
+# (queries.sql:398) and the two-scalar-subquery cross product
+# (queries.sql:108).
+def _deep_corr_min(T):
+    # SELECT * FROM iii100 t1 WHERE id < 9 AND (SELECT MIN(t2.id + 10)
+    # FROM (SELECT * FROM iii100 t3 WHERE t3.id > t1.id + 90) s1,
+    # iii100 t2 WHERE t2.id = t1.id + 90) > 5
+    # Recast: the subquery is non-NULL iff BOTH an s1 row (t3.id >
+    # t1.id+90) and a t2 row (t2.id = t1.id+90) exist, and its value is
+    # then exactly t1.id + 100 (MIN over the constant t2.id = k).
+    t1 = R.projection(
+        R.table_scan(mk(T, "iii100"), c("id") < L(9)),
+        {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c"),
+         "k": c("id") + L(90)})
+    ids = pa.table({"id3": T["iii100"].column("id")})
+    s1_exists = R.distinct(
+        R.table_scan(R.product(t1, ids), c("id3") > c("k")),
+        ["id", "a", "b", "c", "k"])
+    t2_exists = R.semi_join(
+        s1_exists,
+        R.projection(mk(T, "iii100"), {"k2": c("id")}),
+        on=["k"], right_on=["k2"])
+    return R.projection(
+        R.table_scan(t2_exists, (c("k") + L(10)) > L(5)),
+        {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")})
+
+
+def _scalar_cross_counts(T):
+    # SELECT * FROM (two COUNT(*) self-join scalar subqueries) S1, S2
+    def self_match_count(name, alias):
+        j = R.hash_join(
+            R.projection(mk(T, name), {"a": c("a")}),
+            R.projection(mk(T, name), {"a2": c("a")}),
+            on=["a"], right_on=["a2"])
+        return R.aggregate(j, [], {alias: R.agg("count_star")})
+
+    n1 = self_match_count("mixed", "n1")
+    n2_tab = pa.Table.from_pandas(
+        self_match_count("iii50", "n2").to_pandas())
+    return R.product(n1, n2_tab)
 
 
 # --------------------------------------------------------------------
@@ -2579,6 +2628,235 @@ CASES = [
          residual=(c("sb") == c("b")) & (c("sc") < c("c"))),
      "SELECT * FROM id_int_int_int_100 r WHERE a IN (SELECT s.a FROM "
      "id_int_int_int_50 s WHERE s.b = r.b AND s.c < r.c)"),
+    # ================= tranche 9: the remaining statement families ===
+    # -- full-table selects (queries.sql:6-7) -------------------------
+    ("select_star_mixed",
+     lambda T: mk(T, "mixed"),
+     "SELECT * FROM mixed"),
+    ("select_star_mixed_null",
+     lambda T: mk(T, "mixed_null"),
+     "SELECT * FROM mixed_null"),
+    # -- out-of-column-type-range scans (queries.sql:59-64) -----------
+    ("scan_oor_or_id",
+     lambda T: R.table_scan(
+         mk(T, "mixed"),
+         ((c("b") < L(-3000000000)) & (c("b") > L(3000000000)))
+         | (c("id") == L(1))),
+     "SELECT * FROM mixed WHERE (b < -3000000000 AND b > 3000000000) "
+     "OR id = 1"),
+    ("scan_between_oor",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("b"), L(-3123456789),
+                                      L(3123456789))),
+     "SELECT * FROM mixed WHERE b BETWEEN -3123456789 AND 3123456789"),
+    ("scan_huge_float_literal",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            c("c") < L(1.2345678901234568e+39)),
+     "SELECT * FROM mixed WHERE c < "
+     "1234567890123456789012345678901234567890.0"),
+    # -- bare projections (queries.sql:104-106) -----------------------
+    ("proj_single_col",
+     lambda T: R.projection(mk(T, "mixed"), {"a": c("a")}),
+     "SELECT a FROM mixed"),
+    ("proj_b_plus_b",
+     lambda T: R.projection(mk(T, "mixed"), {"s": c("b") + c("b")}),
+     "SELECT b + b AS s FROM mixed"),
+    # -- two scalar-subquery COUNTs cross-joined (queries.sql:108) ----
+    ("scalar_cross_counts",
+     _scalar_cross_counts,
+     "SELECT * FROM (SELECT COUNT(*) AS n1 FROM mixed AS l, mixed AS r "
+     "WHERE l.a = r.a) AS s1, (SELECT COUNT(*) AS n2 FROM "
+     "id_int_int_int_50 AS l, id_int_int_int_50 AS r WHERE l.a = r.a) "
+     "AS s2"),
+    # -- ORDER BY via output aliases (queries.sql:141); ordered compare
+    # is deterministic because the output columns ARE the sort keys
+    ("order_by_alias_keys",
+     lambda T: R.sort(R.projection(mk(T, "mixed"),
+                                   {"x": c("a"), "y": c("b")}),
+                      ["x", "y"]),
+     "SELECT a AS x, b AS y FROM mixed ORDER BY x, y", True),
+    # -- ORDER BY over aggregates (queries.sql:267-269) ---------------
+    ("order_count_group_desc",
+     lambda T: R.sort(R.aggregate(mk(T, "mixed"), ["a"],
+                                  {"n": R.agg("count_star")}),
+                      ["a"], descending=True),
+     "SELECT a, COUNT(*) AS n FROM mixed GROUP BY a ORDER BY a DESC",
+     True),
+    ("order_by_count_desc",
+     lambda T: R.sort(R.aggregate(mk(T, "mixed"), ["a"],
+                                  {"n": R.agg("count_star")}),
+                      ["n", "a"], descending=[True, False]),
+     "SELECT a, COUNT(*) AS n FROM mixed GROUP BY a "
+     "ORDER BY COUNT(*) DESC, a", True),
+    ("order_by_count_expr_desc",
+     lambda T: R.projection(
+         R.sort(
+             R.projection(
+                 R.aggregate(mk(T, "mixed"), ["a"],
+                             {"n": R.agg("count_star")}),
+                 {"a": c("a"), "n": c("n"), "k": L(100) - c("n")}),
+             ["k", "a"], descending=[True, False]),
+         {"a": c("a"), "n": c("n")}),
+     "SELECT a, COUNT(*) AS n FROM mixed GROUP BY a "
+     "ORDER BY 100 - COUNT(*) DESC, a", True),
+    # -- aggregates whose group keys leave the output (queries.sql:
+    # 234,246) and COUNT(*)+1 / keyless-group COUNT (273-275) ---------
+    ("agg_min_by_two_keys_dropped",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), ["d", "c"],
+                     {"m": R.agg("min", "id")}),
+         {"m": c("m")}),
+     "SELECT MIN(id) AS m FROM mixed GROUP BY d, c"),
+    ("agg_sum_no_key_output",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), ["a"], {"s": R.agg("sum", "b")}),
+         {"s": c("s")}),
+     "SELECT SUM(b) AS s FROM mixed GROUP BY a"),
+    ("agg_count_star_plus_one",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), [], {"n": R.agg("count_star")}),
+         {"n1": c("n") + L(1)}),
+     "SELECT COUNT(*) + 1 AS n1 FROM mixed"),
+    ("agg_count_group_no_key",
+     lambda T: R.projection(
+         R.aggregate(mk(T, "mixed"), ["a"],
+                     {"n": R.agg("count_star")}),
+         {"n": c("n")}),
+     "SELECT COUNT(*) AS n FROM mixed GROUP BY a"),
+    ("agg_group_two_keys_max_avg",
+     lambda T: R.aggregate(mk(T, "mixed"), ["a", "b"],
+                           {"mc": R.agg("max", "c"),
+                            "ab": R.agg("avg", "b")}),
+     "SELECT a, b, MAX(c) AS mc, AVG(b) AS ab FROM mixed "
+     "GROUP BY a, b"),
+    # -- HAVING over an aggregate of a mixed expression (queries.sql:
+    # 309) and an OR chain over group keys (312) ----------------------
+    ("having_max_expr_mix",
+     lambda T: R.projection(
+         R.table_scan(
+             R.aggregate(
+                 R.projection(mk(T, "mixed"),
+                              {"a": c("a"), "b": c("b"), "c": c("c"),
+                               "e": c("b") * L(0.8) + c("c") * L(0.01)}),
+                 ["a", "b"],
+                 {"mb": R.agg("max", "b"), "ac": R.agg("avg", "c"),
+                  "me": R.agg("max", "e")}),
+             (c("mb") >= L(10)) & (c("me") < L(40))),
+         {"a": c("a"), "b": c("b"), "mb": c("mb"), "ac": c("ac")}),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY a, b "
+     "HAVING MAX(b) >= 10 AND MAX(b*0.8+c*0.01) < 40"),
+    ("having_key_or_chain",
+     lambda T: R.table_scan(
+         R.aggregate(mk(T, "mixed"), ["a", "b"],
+                     {"mb": R.agg("max", "b"), "ac": R.agg("avg", "c")}),
+         (c("b") > L(33)) | (c("b") == L(1)) | (c("b") == L(17))),
+     "SELECT a, b, MAX(b) AS mb, AVG(c) AS ac FROM mixed GROUP BY a, b "
+     "HAVING b > 33 OR b = 1 OR b = 17"),
+    # -- uncorrelated scalar subqueries (queries.sql:379-382) ---------
+    ("scalar_sub_eq_max",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         c("a") == L(int(_scalar(R.aggregate(mk(T, "iii100"), [],
+                                             {"m": R.agg("max", "b")}),
+                                 "m")))),
+     "SELECT * FROM id_int_int_int_100 WHERE a = "
+     "(SELECT MAX(b) FROM id_int_int_int_100)"),
+    ("scalar_sub_min_mixed_star",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         c("a") > L(int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                            {"m": R.agg("min", "b")}),
+                                "m")))),
+     "SELECT * FROM id_int_int_int_100 WHERE a > "
+     "(SELECT MIN(b) FROM mixed)"),
+    ("scalar_sub_min_mixed_cols",
+     lambda T: R.projection(
+         R.table_scan(
+             mk(T, "iii100"),
+             c("a") > L(int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                                {"m": R.agg("min", "b")}),
+                                    "m")))),
+         {"a": c("a"), "b": c("b")}),
+     "SELECT a, b FROM id_int_int_int_100 WHERE a > "
+     "(SELECT MIN(b) FROM mixed)"),
+    # -- correlated aggregate subquery, >= form (queries.sql:238) -----
+    ("corr_min_ge",
+     lambda T: R.projection(
+         R.table_scan(
+             R.hash_join(
+                 mk(T, "iii100"),
+                 R.aggregate(
+                     R.projection(mk(T, "iii50"),
+                                  {"b": c("b"), "sa": c("a")}),
+                     ["b"], {"mn": R.agg("min", "sa")}),
+                 on=["b"]),
+             c("a") >= c("mn")),
+         {"id": c("id"), "a": c("a"), "b": c("b"), "c": c("c")}),
+     "SELECT * FROM id_int_int_int_100 r WHERE a >= (SELECT MIN(s.a) "
+     "FROM id_int_int_int_50 s WHERE s.b = r.b)"),
+    # -- the deep-nested correlated MIN (queries.sql:398) -------------
+    ("deep_corr_min",
+     _deep_corr_min,
+     "SELECT * FROM id_int_int_int_100 t1 WHERE id < 9 AND "
+     "(SELECT MIN(t2.id + 10) FROM (SELECT * FROM id_int_int_int_100 "
+     "t3 WHERE t3.id > t1.id + 90) AS s1, id_int_int_int_100 t2 "
+     "WHERE t2.id = t1.id + 90) > 5"),
+    # -- IN lists with mixed literal types (queries.sql:427-429).  The
+    # originals include string literals ('Hello') in numeric lists and
+    # numbers in a string-column list; under SQLite's dynamic typing
+    # those members simply never match, so the oracle SQL keeps only
+    # the type-coercible members (DuckDB rejects the mixed list
+    # outright) and the engine applies the same reduction.
+    ("in_mixed_numeric_list",
+     lambda T: R.table_scan(
+         mk(T, "iii100"),
+         R.in_(c("a") + c("c"), [110, 9, 13.345])),
+     "SELECT * FROM id_int_int_int_100 "
+     "WHERE a + c IN (110, 9, 13.345)"),
+    ("in_string_dynamic_list",
+     lambda T: R.projection(
+         R.table_scan(mk(T, "mixed"),
+                      R.in_(c("d"), ["hamqiv", "Hello", "xfkk"])),
+         {"id": c("id")}),
+     "SELECT id FROM mixed WHERE d IN ('hamqiv', 'Hello', 'xfkk')"),
+    ("in_mixed_numeric_list_proj",
+     lambda T: R.projection(
+         R.table_scan(mk(T, "iii100"),
+                      R.in_(c("a") + c("c"), [110, 9, 13.345])),
+         {"s": c("a") + c("c")}),
+     "SELECT a + c AS s FROM id_int_int_int_100 "
+     "WHERE a + c IN (110, 9, 13.345)"),
+    # -- EXISTS against the int_date table (queries.sql:229-232) ------
+    ("exists_int_date",
+     lambda T: R.semi_join(mk(T, "iii100"),
+                           mk(T, "int_date").select_columns(["a"]),
+                           on=["id"], right_on=["a"]),
+     "SELECT * FROM id_int_int_int_100 WHERE EXISTS (SELECT * FROM "
+     "int_date WHERE id_int_int_int_100.id = int_date.a)"),
+    ("not_exists_int_date",
+     lambda T: R.anti_join(mk(T, "iii100"),
+                           mk(T, "int_date").select_columns(["a"]),
+                           on=["id"], right_on=["a"]),
+     "SELECT * FROM id_int_int_int_100 WHERE NOT EXISTS (SELECT * "
+     "FROM int_date WHERE id_int_int_int_100.id = int_date.a)"),
+    ("exists_int_date_or_id",
+     lambda T: R.distinct(R.union_all(
+         R.semi_join(mk(T, "iii100"),
+                     mk(T, "int_date").select_columns(["a"]),
+                     on=["id"], right_on=["a"]),
+         R.table_scan(mk(T, "iii100"), c("id") < L(20)))),
+     "SELECT * FROM id_int_int_int_100 WHERE EXISTS (SELECT * FROM "
+     "int_date WHERE id_int_int_int_100.id = int_date.a) OR id < 20"),
+    # -- compound-ON LEFT JOIN on the string-keyed tables
+    # (queries.sql:187) -----------------------------------------------
+    ("left_join_mixed_compound",
+     lambda T: R.multi_predicate_join(
+         R.projection(mk(T, "mixed"), {"a1": c("a"), "b1": c("b")}),
+         R.projection(mk(T, "mixed_null"), {"a2": c("a"), "b2": c("b")}),
+         on=["a1"], right_on=["a2"], residual=c("b1") >= c("b2"),
+         how="left_outer"),
+     "SELECT t1.a AS a1, t1.b AS b1, t2.b AS b2 FROM mixed t1 "
+     "LEFT JOIN mixed_null t2 ON t1.a = t2.a AND t1.b >= t2.b"),
 ]
 
 
