@@ -2857,6 +2857,110 @@ CASES = [
          how="left_outer"),
      "SELECT t1.a AS a1, t1.b AS b1, t2.b AS b2 FROM mixed t1 "
      "LEFT JOIN mixed_null t2 ON t1.a = t2.a AND t1.b >= t2.b"),
+    # ================= tranche 10: last distinctive shapes ============
+    # -- no-FROM integer division (queries.sql:13).  The engine follows
+    # the reference's SQLite semantics (int / int truncates); DuckDB's
+    # `/` is float division, so the oracle spells it `//`.
+    ("no_from_int_div",
+     lambda T: R.projection(_one(), {"col": L(22) / L(5)}),
+     "SELECT 22 // 5 AS col"),
+    # -- division/modulo by zero in projections (queries.sql:118-119):
+    # SQL NULL, never a raise (same `//` spelling note as above) -------
+    ("proj_div_zero_three_forms",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"x": L(2) / L(0), "y": c("b") / L(0),
+                             "z": L(50) / c("id")}),
+     "SELECT 2 // 0 AS x, b // 0 AS y, 50 // id AS z FROM mixed"),
+    ("proj_mod_zero_three_forms",
+     lambda T: R.projection(mk(T, "mixed"),
+                            {"x": L(2) % L(0), "y": c("b") % L(0),
+                             "z": L(50) % c("id")}),
+     "SELECT 2 % 0 AS x, b % 0 AS y, 50 % id AS z FROM mixed"),
+    # -- constant truthy-int predicate (queries.sql:66): constant-true,
+    # so the scan is the identity (same recast as scan_const_true_pred)
+    ("scan_const_truthy_int",
+     lambda T: R.projection(mk(T, "mixed"), {"a": c("a")}),
+     "SELECT a FROM mixed WHERE 1 OR 3 > 2"),
+    # -- guaranteed-empty conjunction (queries.sql:74) -----------------
+    ("scan_negative_empty",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            (c("a") == L(20)) & (c("b") == L(93))),
+     "SELECT * FROM id_int_int_int_100 WHERE a = 20 AND b = 93"),
+    # -- strict-bound range pair (queries.sql:81) ----------------------
+    ("scan_strict_range_pair",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            (L(91) > c("a")) & (L(20) < c("a"))),
+     "SELECT * FROM id_int_int_int_100 WHERE 91 > a AND 20 < a"),
+    # -- COUNT(*) three ways in a derived table (queries.sql:131) ------
+    ("triple_count_derived",
+     lambda T: R.aggregate(mk(T, "mixed"), [],
+                           {"cnt1": R.agg("count_star"),
+                            "cnt2": R.agg("count_star"),
+                            "cnt3": R.agg("count_star")}),
+     "SELECT * FROM (SELECT COUNT(*) AS cnt1, COUNT(*) AS cnt2, "
+     "COUNT(*) AS cnt3 FROM mixed) AS r"),
+    # -- correlated MAX behind an inequality (queries.sql:134):
+    # MAX(b WHERE b > outer.b) = global max when it exceeds outer.b,
+    # else NULL — recast as two scalar comparisons ---------------------
+    ("corr_alias_max_gt",
+     lambda T: (lambda g: R.projection(
+         R.table_scan(mk(T, "iii100"),
+                      (c("a") < L(g)) & (c("b") < L(g))),
+         {"b1": c("b"), "b2": c("b")}))(
+             int(_scalar(R.aggregate(mk(T, "mixed"), [],
+                                     {"m": R.agg("max", "b")}), "m"))),
+     "SELECT b AS b1, b AS b2 FROM id_int_int_int_100 WHERE a < "
+     "(SELECT MAX(b) FROM mixed WHERE mixed.b > id_int_int_int_100.b)"),
+    # -- computed keys on BOTH join sides (queries.sql:180) ------------
+    ("join_computed_keys_both",
+     lambda T: R.projection(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"k": c("id") * L(3),
+                                           "id1": c("id")}),
+             R.projection(mk(T, "mixed"), {"k2": c("id") - L(5),
+                                           "id2": c("id")}),
+             on=["k"], right_on=["k2"]),
+         {"id1": c("id1"), "id2": c("id2")}),
+     "SELECT m1.id AS id1, m2.id AS id2 FROM mixed m1 JOIN mixed m2 "
+     "ON m1.id * 3 = m2.id - 5"),
+    # -- computed-key LEFT join from a derived table (queries.sql:183) -
+    ("left_join_computed_key",
+     lambda T: R.projection(
+         R.hash_join(
+             R.table_scan(
+                 R.projection(mk(T, "mixed"), {"new_id": c("id") + L(5)}),
+                 c("new_id") > L(90)),
+             # the key column merges into new_id; rid2 carries r.id
+             R.projection(mk(T, "mixed"), {"rid": c("id"),
+                                           "rid2": c("id")}),
+             on=["new_id"], right_on=["rid"], how="left_outer"),
+         {"new_id": c("new_id"), "a": c("rid2") + L(10)}),
+     "SELECT l.new_id, r.id + 10 AS a FROM (SELECT id + 5 AS new_id "
+     "FROM mixed WHERE id + 5 > 90) AS l LEFT JOIN mixed AS r "
+     "ON l.new_id = r.id"),
+    # -- unconstrained self cross product (queries.sql:155) ------------
+    ("cross_product_self_cols",
+     lambda T: R.product(
+         R.projection(mk(T, "mixed"), {"ra": c("a")}),
+         pa.table({"sa": T["mixed"].column("a")})),
+     "SELECT r.a AS ra, s.a AS sa FROM mixed r, mixed s"),
+    # -- derived tables whose filters are constant-true ORs
+    # (queries.sql:99) --------------------------------------------------
+    ("derived_const_or_join",
+     lambda T: R.hash_join(
+         R.projection(
+             R.table_scan(mk(T, "iii50"),
+                          (c("a") < L(1)) | (L(3) > L(2))),
+             {"la": c("a"), "lb": c("b")}),
+         R.projection(
+             R.table_scan(mk(T, "iii50"),
+                          (c("a") < L(10)) | (L(30) > L(20))),
+             {"ra": c("a"), "rb": c("b")}),
+         on=["la"], right_on=["ra"]),
+     "SELECT l.a AS la, l.b AS lb, r.b AS rb FROM (SELECT * FROM "
+     "id_int_int_int_50 WHERE a < 1 OR 3 > 2) AS l JOIN (SELECT * "
+     "FROM id_int_int_int_50 WHERE a < 10 OR 30 > 20) AS r "
+     "ON l.a = r.a"),
 ]
 
 
