@@ -134,6 +134,13 @@ def _full_if_empty(probe, full):
     return full if probe.count() == 0 else full.limit(0)
 
 
+def _full_if_nonempty(probe, full):
+    """Uncorrelated `<const> IN (SELECT …)` / EXISTS wrapper: keep
+    every outer row iff the probe scan finds at least one match
+    (sqlite_testrunner_queries.sql:73)."""
+    return full if probe.count() > 0 else full.limit(0)
+
+
 def _dml_root():
     import tempfile
     return tempfile.mkdtemp(prefix="hgd_conf_dml_", dir="/tmp")
@@ -2961,6 +2968,198 @@ CASES = [
      "id_int_int_int_50 WHERE a < 1 OR 3 > 2) AS l JOIN (SELECT * "
      "FROM id_int_int_int_50 WHERE a < 10 OR 30 > 20) AS r "
      "ON l.a = r.a"),
+    # ================= tranche 11: residual statement forms ===========
+    # -- float literal bound on the int id column (queries.sql:38) -----
+    ("scan_id_lt_float",
+     lambda T: R.table_scan(mk(T, "mixed"), c("id") < L(5.5)),
+     "SELECT * FROM mixed WHERE id < 5.5"),
+    # -- BETWEEN spanning the whole column range (queries.sql:23) ------
+    ("scan_between_wide",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("b"), L(0), L(99999))),
+     "SELECT * FROM mixed WHERE b BETWEEN 0 AND 99999"),
+    # -- three-arm OR chain (queries.sql:30) ---------------------------
+    ("scan_triple_or",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            (c("b") >= L(21)) | (c("c") < L(72.76)) |
+                            ((c("b") <= L(30)) & (c("c") > L(50.0)))),
+     "SELECT * FROM mixed WHERE b >= 21 OR c < 72.76 OR "
+     "(b <= 30 AND c > 50.0)"),
+    # -- remaining NULL-comparison NOT EXISTS forms (queries.sql:50,
+    # 52,57) ------------------------------------------------------------
+    ("null_cmp_str_le_not_exists",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"), c("a") <= L(None)), mk(T, "mixed")),
+     "SELECT * FROM mixed WHERE NOT EXISTS "
+     "(SELECT * FROM mixed WHERE a <= NULL)"),
+    ("null_cmp_ne_not_exists",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"), c("b") != L(None)), mk(T, "mixed")),
+     "SELECT * FROM mixed WHERE NOT EXISTS "
+     "(SELECT * FROM mixed WHERE b != NULL)"),
+    ("null_cmp_between_null_lo_not_exists",
+     lambda T: _full_if_empty(
+         R.table_scan(mk(T, "mixed"), R.between(c("d"), L(None), L(""))),
+         mk(T, "mixed")),
+     "SELECT * FROM mixed WHERE NOT EXISTS "
+     "(SELECT * FROM mixed WHERE d BETWEEN NULL AND '')"),
+    # -- constant IN an uncorrelated subquery (queries.sql:73): true
+    # iff any mixed.id equals 50 ----------------------------------------
+    ("scan_const_in_subquery",
+     lambda T: _full_if_nonempty(
+         R.table_scan(mk(T, "mixed"), c("id") == L(50)),
+         mk(T, "mixed_null")),
+     "SELECT * FROM mixed_null WHERE 50 IN (SELECT id FROM mixed)"),
+    # -- value/expression BETWEEN column bounds (queries.sql:84,86) ----
+    ("scan_value_between_cols",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(L(10), c("b"), L(40))),
+     "SELECT * FROM mixed WHERE 10 BETWEEN b AND 40"),
+    ("scan_expr_between_cols",
+     lambda T: R.table_scan(mk(T, "mixed"),
+                            R.between(c("b") + L(10), c("b"), c("c"))),
+     "SELECT * FROM mixed WHERE b + 10 BETWEEN b AND c"),
+    # -- IS NOT NULL on a column without nulls (queries.sql:367) -------
+    ("scan_b_is_not_null_dense",
+     lambda T: R.table_scan(mk(T, "mixed"), R.is_not_null(c("b"))),
+     "SELECT * FROM mixed WHERE b IS NOT NULL"),
+    # -- OR of two closed ranges (queries.sql:90; AND binds tighter) ---
+    ("scan_or_two_ranges",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            ((c("a") >= L(20)) & (c("a") <= L(40))) |
+                            ((c("b") >= L(50)) & (c("b") <= L(95)))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 40 "
+     "OR b >= 50 AND b <= 95"),
+    # -- eight-term conjunction with redundant bounds (queries.sql:91) -
+    ("scan_redundant_conjunction",
+     lambda T: R.table_scan(mk(T, "iii100"),
+                            (c("a") >= L(20)) & (c("a") <= L(40)) &
+                            (c("c") <= L(35)) & (c("b") >= L(49)) &
+                            (c("a") >= L(21)) & (c("b") <= L(95)) &
+                            (c("c") <= L(40)) & (c("c") >= L(23))),
+     "SELECT * FROM id_int_int_int_100 WHERE a >= 20 AND a <= 40 AND "
+     "c <= 35 AND b >= 49 AND a >= 21 AND b <= 95 AND c <= 40 AND "
+     "c >= 23"),
+    # -- constant-true parenthesised OR before an equality
+    # (queries.sql:100) --------------------------------------------------
+    ("scan_const_truthy_and_eq",
+     lambda T: R.projection(R.table_scan(mk(T, "mixed"), c("b") == L(1)),
+                            {"b": c("b")}),
+     "SELECT b FROM mixed WHERE (2 > 1 OR 2 > 0) AND b = 1"),
+    # -- derived table with constant-true OR, re-filtered
+    # (queries.sql:101) --------------------------------------------------
+    ("derived_const_or_refilter",
+     lambda T: R.table_scan(
+         R.table_scan(R.projection(mk(T, "iii50"), {"a": c("a")}),
+                      (c("a") < L(1)) | (L(3) > L(2))),
+         (c("a") < L(10)) | (L(30) > L(20))),
+     "SELECT * FROM (SELECT a FROM id_int_int_int_50 WHERE a < 1 OR "
+     "3 > 2) AS s WHERE a < 10 OR 30 > 20"),
+    # -- full-width star expansion across a self join (queries.sql:165:
+    # SELECT b.*, a.* — ported with disambiguating aliases; the equi
+    # key merges, so the right id rides along as rid2) -------------------
+    ("qualified_star_self_join",
+     lambda T: R.table_scan(
+         R.hash_join(
+             R.projection(mk(T, "mixed"),
+                          {"lid": c("id"), "la": c("a"), "lb": c("b"),
+                           "lc": c("c"), "ld": c("d")}),
+             R.projection(mk(T, "mixed"),
+                          {"rid": c("id"), "ra": c("a"), "rb": c("b"),
+                           "rc": c("c"), "rd": c("d"),
+                           "rid2": c("id")}),
+             on=["lid"], right_on=["rid"]),
+         c("lid") > L(50)),
+     "SELECT b.id AS rid2, b.a AS ra, b.b AS rb, b.c AS rc, "
+     "b.d AS rd, a.id AS lid, a.a AS la, a.b AS lb, a.c AS lc, "
+     "a.d AS ld FROM mixed AS a JOIN mixed AS b ON a.id = b.id "
+     "WHERE a.id > 50"),
+    # -- three-table chain keeping one side full-width (queries.sql:218:
+    # SELECT t1.*, t2.b, t3.a …; both equi keys merge into t1b, and
+    # equality lets t2b/t3a be re-emitted from it) -----------------------
+    ("three_table_star_chain",
+     lambda T: R.projection(
+         R.hash_join(
+             R.hash_join(
+                 R.projection(mk(T, "mixed"),
+                              {"t1id": c("id"), "t1a": c("a"),
+                               "t1b": c("b"), "t1c": c("c"),
+                               "t1d": c("d")}),
+                 R.projection(mk(T, "mixed_null"), {"t2b": c("b")}),
+                 on=["t1b"], right_on=["t2b"]),
+             R.projection(mk(T, "iii100"), {"t3a": c("a")}),
+             on=["t1b"], right_on=["t3a"]),
+         {"t1id": c("t1id"), "t1a": c("t1a"), "t1b": c("t1b"),
+          "t1c": c("t1c"), "t1d": c("t1d"), "t2b": c("t1b"),
+          "t3a": c("t1b")}),
+     "SELECT t1.id AS t1id, t1.a AS t1a, t1.b AS t1b, t1.c AS t1c, "
+     "t1.d AS t1d, t2.b AS t2b, t3.a AS t3a FROM mixed AS t1 INNER "
+     "JOIN mixed_null AS t2 ON t1.b = t2.b INNER JOIN "
+     "id_int_int_int_100 AS t3 ON t1.b = t3.a"),
+    # -- quoted-alias implicit join plus literal filter (queries.sql:157)
+    ("cross_quoted_alias_filter",
+     lambda T: R.projection(
+         R.hash_join(
+             R.projection(R.table_scan(mk(T, "mixed"), c("b") == L(2)),
+                          {"la": c("a")}),
+             R.projection(mk(T, "mixed_null"), {"ra": c("a"),
+                                                "rb": c("b")}),
+             on=["la"], right_on=["ra"]),
+         {"b": c("rb")}),
+     'SELECT "right".b FROM mixed AS "left", mixed_null AS "right" '
+     'WHERE "left".a = "right".a AND "left".b = 2'),
+    # -- implicit join matching two different string columns
+    # (queries.sql:158) --------------------------------------------------
+    ("cross_join_a_eq_d",
+     lambda T: R.projection(
+         R.hash_join(
+             R.projection(mk(T, "mixed"), {"la": c("a"),
+                                           "lid": c("id")}),
+             R.projection(mk(T, "mixed_null"), {"rd": c("d"),
+                                                "rb": c("b")}),
+             on=["la"], right_on=["rd"]),
+         {"la": c("la"), "lid": c("lid"), "rb": c("rb")}),
+     "SELECT l.a AS la, l.id AS lid, r.b AS rb FROM mixed AS l, "
+     "mixed_null AS r WHERE l.a = r.d"),
+    # -- non-equi LEFT join with an outer filter (queries.sql:177) -----
+    ("nonequi_left_join_where",
+     lambda T: R.theta_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(90)),
+                      {"lid": c("id")}),
+         pa.table({"rb": T["mixed"].column("b")}),
+         c("lid") >= c("rb"), how="left_outer"),
+     "SELECT t1.id AS lid, t2.b AS rb FROM mixed AS t1 LEFT JOIN "
+     "(SELECT b FROM mixed) AS t2 ON t1.id >= t2.b WHERE t1.id > 90"),
+    # -- LEFT join on a pair of != predicates (queries.sql:212) --------
+    ("neq_pair_left_join",
+     lambda T: R.theta_join(
+         R.projection(mk(T, "iii100"), {"la": c("a"), "lb": c("b")}),
+         pa.table({"ra": T["iii100"].column("a"),
+                   "rb": T["iii100"].column("b")}),
+         (c("la") != c("ra")) & (c("lb") != c("rb")),
+         how="left_outer"),
+     "SELECT t1.a AS la, t1.b AS lb, t2.a AS ra, t2.b AS rb FROM "
+     "id_int_int_int_100 t1 LEFT JOIN id_int_int_int_100 t2 ON "
+     "t1.a != t2.a AND t1.b != t2.b"),
+    # -- != plus string-order join with a post-filter (queries.sql:203)
+    ("join_neq_str_gt",
+     lambda T: R.theta_join(
+         R.projection(R.table_scan(mk(T, "mixed"), c("id") > L(50)),
+                      {"lid": c("id"), "la": c("a"), "ld": c("d")}),
+         pa.table({"ra": T["mixed"].column("a"),
+                   "rd": T["mixed"].column("d")}),
+         (c("la") != c("ra")) & (c("ld") > c("rd"))),
+     "SELECT m1.id AS lid, m1.a AS la, m1.d AS ld, m2.a AS ra, "
+     "m2.d AS rd FROM mixed AS m1 JOIN mixed AS m2 ON m1.a != m2.a "
+     "AND m1.d > m2.d WHERE m1.id > 50"),
+    # -- COUNT(*) over an implicit two-table product (queries.sql:274)
+    ("count_star_product",
+     lambda T: R.aggregate(
+         R.product(R.projection(mk(T, "iii50"), {"la": c("a")}),
+                   pa.table({"ra": T["iii100"].column("a")})),
+         [], {"cnt": R.agg("count_star")}),
+     "SELECT COUNT(*) AS cnt FROM id_int_int_int_50, "
+     "id_int_int_int_100"),
 ]
 
 
