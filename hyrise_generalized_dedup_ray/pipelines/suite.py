@@ -983,11 +983,13 @@ def sort_orders_nulls(sf_dir: str):
     })
     s = R.sort(p, ["key"], descending=True, nulls_first=True,
                tiebreak="o_orderkey").limit(50)
-    rows = s.take_all()  # 50 rows, in sorted order
+    # 50 rows, in sorted order — the limit() head streams to the
+    # driver as Arrow blocks; rank attaches columnar, no row loop
+    t = pa.concat_tables(ray.get(s.to_arrow_refs()))
     return pa.table({
-        "rank": pa.array(np.arange(1, len(rows) + 1), type=I64),
-        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=I64),
-        "key": pa.array([r["key"] for r in rows], type=pa.float64()),
+        "rank": pa.array(np.arange(1, t.num_rows + 1), type=I64),
+        "o_orderkey": t.column("o_orderkey").cast(I64),
+        "key": t.column("key").cast(pa.float64()),
     })
 
 
