@@ -338,12 +338,19 @@ def unique_shingle_sets(
 
 
 def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
-    """Exact Jaccard of two *sorted unique* uint64 arrays."""
+    """Exact Jaccard of two *sorted unique* uint64 arrays.
+
+    |A∩B| = adjacent-equal count of the sorted concatenation (inputs
+    are unique, so every common value appears exactly twice) — what
+    intersect1d computes minus its value-extraction pass; the count is
+    the same integer, so results are bit-identical."""
     if len(a) == 0 and len(b) == 0:
         return 1.0
     if len(a) == 0 or len(b) == 0:
         return 0.0
-    inter = np.intersect1d(a, b, assume_unique=True).size
+    c = np.concatenate((a, b))
+    c.sort()
+    inter = int(np.count_nonzero(c[1:] == c[:-1]))
     return inter / (len(a) + len(b) - inter)
 
 
