@@ -19,6 +19,7 @@ from dataclasses import replace
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
@@ -288,3 +289,102 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow", batch_size=eng.verify_batch_size,
         concurrency=(1, 8),
     )
+
+
+@ray.remote
+def _sorted_id_set(refs: list) -> np.ndarray:
+    """Sorted unique doc ids of a dataset, built INSIDE a task (the
+    decontam ``_build_eval_set`` pattern — the driver never holds it)."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tables:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(pa.concat_tables(tables).column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+
+
+def _member_mask(sorted_ids: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in a sorted unique array."""
+    if not len(sorted_ids):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(sorted_ids, ids)
+    pos = np.minimum(pos, len(sorted_ids) - 1)
+    return sorted_ids[pos] == ids
+
+
+def incremental_near_dup(
+    existing: Dataset,
+    incoming: Dataset,
+    cfg: SignatureConfig = DEFAULT_SIGNATURE_CONFIG,
+    eng: EngineConfig = DEFAULT_ENGINE_CONFIG,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Crawl-over-corpus NEAR-duplicate gate: for every ``incoming``
+    doc that has token-shingle Jaccard ≥ ``cfg.jaccard_threshold``
+    against ANY ``existing`` doc, emit (doc_id, n_matches, rep_id) —
+    the count of matching corpus docs and the smallest matching corpus
+    id.  Incoming docs with no match produce no row (they are "new").
+
+    The near-dup companion of :func:`stages.bloom.incremental_dedup`
+    (which gates on EXACT text equality).  Doc ids must be globally
+    unique across the two sides.
+
+    100-TB shape: both sides stream through ONE shared signer +
+    banding pass (the union below concatenates lazily — no
+    materialized copy), candidates come from the same salted band
+    exchange as :func:`minhash_dup_pairs`, and the side predicate is
+    applied from a broadcast sorted array of INCOMING ids — the crawl
+    increment, typically orders of magnitude smaller than the corpus
+    (the same broadcast-the-small-side shape as decontamination).
+    Cross-side filtering runs BEFORE text verification, so the
+    expensive Jaccard confirm only ever sees corpus×increment pairs;
+    an increment too large to broadcast (≫10⁹ ids) would instead
+    carry a side bit through the signer schema.
+
+    Reference analog: the generalized-dedup encoder deduplicates new
+    chunks against the fingerprint lookup table built from already-
+    stored bases (generalized_dedup.hpp fingerprint lookup) — here the
+    "table" is the corpus band index and the "chunk" is a crawled page.
+    """
+    import functools
+
+    from hyrise_generalized_dedup_ray.relational import agg, aggregate
+
+    ex = existing.select_columns(["doc_id", "text"])
+    inc = incoming.select_columns(["doc_id", "text"])
+    inc_ids_ref = _sorted_id_set.remote(inc.to_arrow_refs())
+
+    sigs = sign_docs(ex.union(inc), cfg, eng).materialize()
+    pairs, _ = candidate_pairs(sigs, eng, num_partitions)
+
+    def cross_only(batch: pa.Table, ref) -> pa.Table:
+        inc_ids = ray.get(ref)   # zero-copy view, cached per node
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = _member_mask(inc_ids, a) != _member_mask(inc_ids, b)
+        return batch.filter(pa.array(keep))
+
+    cross = pairs.map_batches(
+        functools.partial(cross_only, ref=inc_ids_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    edges = verify_pairs(cross, sigs.select_columns(["doc_id", "text"]),
+                         cfg, batch_size=eng.verify_batch_size,
+                         num_partitions=num_partitions)
+
+    def orient(batch: pa.Table, ref) -> pa.Table:
+        """(a,b) → (doc_id=incoming endpoint, ex_id=corpus endpoint)."""
+        inc_ids = ray.get(ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        a_in = _member_mask(inc_ids, a)
+        return pa.table({
+            "doc_id": pa.array(np.where(a_in, a, b), type=pa.int64()),
+            "ex_id": pa.array(np.where(a_in, b, a), type=pa.int64()),
+        })
+
+    oriented = edges.map_batches(
+        functools.partial(orient, ref=inc_ids_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return aggregate(oriented, ["doc_id"], {
+        "n_matches": agg("count_star"),
+        "rep_id": agg("min", "ex_id"),
+    }, num_partitions=max(4, num_partitions // 2))

@@ -636,6 +636,138 @@ def vocab_top_terms(sf_dir: str):
                   100)
 
 
+def _explode_word_ngrams(batch: pa.Table, n: int) -> pa.Table:
+    """doc batch → per-batch pre-aggregated (gram, cnt) rows of
+    consecutive lowercased word n-grams (empty tokens dropped, gram
+    windows never cross a doc boundary).  Fully vectorized: Arrow
+    regex split offsets → numpy doc ids → shifted-slice gram join via
+    ``pc.binary_join_element_wise`` → per-batch unique-by-hash counts
+    (the vocab_top_terms combiner shape — only (string, i64) partials
+    reach the shuffle)."""
+    import pyarrow.compute as pc
+
+    from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
+
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+    flat = toks.values
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = flat.to_numpy(zero_copy_only=False)
+    doc = np.repeat(np.arange(len(off) - 1), np.diff(off))
+    keep = words != ""
+    words, doc = words[keep], doc[keep]
+    if len(words) < n:
+        return pa.table({"gram": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    in_doc = doc[: len(doc) - n + 1] == doc[n - 1:]
+    idx = np.flatnonzero(in_doc)
+    if not len(idx):
+        return pa.table({"gram": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    grams = pc.binary_join_element_wise(
+        *[pa.array(words[idx + j]) for j in range(n)], " ")
+    h = hash_strings(grams.to_numpy(zero_copy_only=False))
+    _, first, cnt = np.unique(h, return_index=True, return_counts=True)
+    return pa.table({
+        "gram": grams.take(pa.array(first)),
+        "cnt": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def top_ngrams(sf_dir: str):
+    """Corpus-wide hot word-3-gram table (top 50 by total occurrences,
+    ties broken by gram) — the repetition-analysis primitive used to
+    mine boilerplate phrase lists (the corpus-level complement of the
+    per-doc Gopher repetition_stats).  Per-batch pre-aggregation, ONE
+    string-keyed shuffle, deterministic top-k."""
+    import functools
+
+    from hyrise_generalized_dedup_ray.relational import limit as limit_, sort
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ex = docs.map_batches(functools.partial(_explode_word_ngrams, n=3),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    ag = aggregate(ex, ["gram"], {"n_occ": agg("sum", "cnt")},
+                   num_partitions=8)
+    return limit_(sort(ag, ["n_occ"], descending=True, tiebreak="gram"), 50)
+
+
+def tf_idf_terms(sf_dir: str):
+    """Corpus tf-idf term weights: per-token total occurrences, exact
+    document frequency, and tfidf_e3 = round(n_occ · ln(N/df) · 1000)
+    — the classic quality-scoring / keyword-extraction table.  The
+    vocab aggregate (fused sum + count_distinct, one string-keyed
+    shuffle) plus a driver-free columnar scoring pass; N comes from
+    Parquet row-count metadata.  Fixed-point e3 keeps the SQL twin
+    hash-exact (the group_quantiles convention)."""
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from hyrise_generalized_dedup_ray.functions.hashing import \
+            hash_strings
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(off))
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        words, doc = words[keep], doc[keep]
+        h = hash_strings(words)
+        u, idx, cnt = np.unique(
+            np.stack([h, doc.astype(np.uint64)], axis=1), axis=0,
+            return_index=True, return_counts=True)
+        return pa.table({
+            "token": pa.array(words[idx], type=pa.string()),
+            "doc_id": pa.array(u[:, 1].astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    ex = docs.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ag = aggregate(ex, ["token"], {
+        "n_occ": agg("sum", "cnt"),
+        "df": ("count_distinct", "doc_id"),
+    }, num_partitions=8)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_occ = batch.column("n_occ").to_numpy(zero_copy_only=False)
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        tfidf = np.round(n_occ * np.log(n_docs * 1.0 / df) * 1000.0)
+        return batch.append_column(
+            "tfidf_e3", pa.array(tfidf.astype(np.int64), type=pa.int64()))
+
+    return ag.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def incremental_near_dedup(sf_dir: str):
+    """Crawl-over-corpus NEAR-dup gate (the near-dup companion of
+    incremental_text_dedup's exact gate): incoming slice = doc_id % 2
+    == 1, corpus = even ids; each incoming doc with token-5-gram
+    Jaccard ≥ 0.6 against any corpus doc reports its match count and
+    smallest matching corpus id.  Candidates from the shared MinHash
+    band exchange, side predicate from a broadcast sorted incoming-id
+    array BEFORE text verification (pipelines/docs.incremental_near_dup)."""
+    from hyrise_generalized_dedup_ray.pipelines.docs import \
+        incremental_near_dup
+
+    docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
+    is_inc = R.eq(R.mod(col("doc_id"), lit(2)), lit(1))
+    return incremental_near_dup(table_scan(docs, R.not_(is_inc)),
+                                table_scan(docs, is_inc),
+                                num_partitions=8)
+
+
 def exact_dedup_best(sf_dir: str):
     """Exact dedup with a QUALITY keep-rule (keep the longest copy,
     ties to min id) instead of min-id — the representative-selection
@@ -1536,6 +1668,9 @@ QUERIES = {
     "url_dedup": url_dedup,
     "line_dedup": line_dedup_docs,
     "incremental_text_dedup": incremental_text_dedup,
+    "incremental_near_dedup": incremental_near_dedup,
+    "top_ngrams": top_ngrams,
+    "tf_idf_terms": tf_idf_terms,
     "decontaminate_docs": decontaminate_docs,
     "curation_pipeline": curation_pipeline,
     "vocab_top_terms": vocab_top_terms,
