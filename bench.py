@@ -245,7 +245,7 @@ def main() -> None:
         # episodes that per-trial steal does not see (same-commit
         # 7.4× drift control), so absolute leg times are part of the
         # gate.  Trials run interleaved until both legs hold a valid
-        # trial (min 3 pairs, the round-2 protocol) or the pair budget
+        # trial (min 3 pairs) or the pair budget
         # runs out; the FULL trial log + gate verdict is written to
         # BENCH_scaling.json so a reviewer can re-check, not just
         # re-read, the number.

@@ -295,7 +295,8 @@ def ngram_jaccard_pairs(
 def _sorted_id_set(refs: list) -> np.ndarray:
     """Sorted unique doc ids of a dataset, built INSIDE a task (the
     decontam ``_build_eval_set`` pattern — the driver never holds it)."""
-    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    tables = [t.select(["doc_id"]) for t in ray.get(list(refs))
+              if t.num_rows]
     if not tables:
         return np.empty(0, dtype=np.int64)
     return np.unique(pa.concat_tables(tables).column("doc_id").to_numpy(
@@ -351,7 +352,8 @@ def incremental_near_dup(
 
     ex = existing.select_columns(["doc_id", "text"])
     inc = incoming.select_columns(["doc_id", "text"])
-    inc_ids_ref = _sorted_id_set.remote(inc.to_arrow_refs())
+    inc_ids_ref = _sorted_id_set.remote(
+        inc.select_columns(["doc_id"]).to_arrow_refs())
 
     sigs = sign_docs(ex.union(inc), cfg, eng).materialize()
     pairs, _ = candidate_pairs(sigs, eng, num_partitions)

@@ -700,7 +700,9 @@ def tf_idf_terms(sf_dir: str):
     — the classic quality-scoring / keyword-extraction table.  The
     vocab aggregate (fused sum + count_distinct, one string-keyed
     shuffle) plus a driver-free columnar scoring pass; N comes from
-    Parquet row-count metadata.  Fixed-point e3 keeps the SQL twin
+    Parquet row-count metadata.  Fixed-point e3 via floor(x·1000+0.5)
+    — half-away-from-zero on both sides (x ≥ 0 here), the same
+    convention the ngram_jaccard_exact twin uses — keeps the SQL twin
     hash-exact (the group_quantiles convention)."""
     docs = load_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()
@@ -742,7 +744,7 @@ def tf_idf_terms(sf_dir: str):
     def score(batch: pa.Table) -> pa.Table:
         n_occ = batch.column("n_occ").to_numpy(zero_copy_only=False)
         df = batch.column("df").to_numpy(zero_copy_only=False)
-        tfidf = np.round(n_occ * np.log(n_docs * 1.0 / df) * 1000.0)
+        tfidf = np.floor(n_occ * np.log(n_docs * 1.0 / df) * 1000.0 + 0.5)
         return batch.append_column(
             "tfidf_e3", pa.array(tfidf.astype(np.int64), type=pa.int64()))
 
@@ -2448,6 +2450,86 @@ SELECT i.a, i.b
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a
              JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.6
+"""
+
+# Same brute-force-twin argument as minhash_lsh_pairs (b=32/r=4
+# recalls every >=0.6 pair at test scale), restricted to corpus(even)
+# x incoming(odd) cross pairs and re-aggregated per incoming doc the
+# way pipelines/docs.incremental_near_dup orients its edges.
+ORACLE_SQL["incremental_near_dedup"] = """
+WITH toks AS (
+  SELECT d.doc_id, unnest(d.ts) AS tok,
+         generate_subscripts(d.ts, 1) AS i
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ts
+        FROM documents) d
+),
+grams AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' ||
+         t4.tok || ' ' || t5.tok AS g
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+  JOIN toks t4 ON t4.doc_id = t1.doc_id AND t4.i = t1.i + 3
+  JOIN toks t5 ON t5.doc_id = t1.doc_id AND t5.i = t1.i + 4
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS n_common
+  FROM grams g1 JOIN grams g2
+    ON g1.g = g2.g AND g1.doc_id % 2 = 0 AND g2.doc_id % 2 = 1
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT i.b AS doc_id, i.a AS ex_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.6
+)
+SELECT doc_id, COUNT(*) AS n_matches, MIN(ex_id) AS rep_id
+FROM m GROUP BY doc_id
+"""
+
+# The vocab_top_terms twin shape over 3-gram windows that never cross
+# a doc boundary: list_filter drops empty tokens BEFORE windowing,
+# matching _explode_word_ngrams' keep-then-shift semantics.
+ORACLE_SQL["top_ngrams"] = r"""
+WITH toks AS (
+  SELECT d.doc_id, unnest(d.ts) AS tok,
+         generate_subscripts(d.ts, 1) AS i
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   lower(text), '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ts
+        FROM documents) d
+),
+grams AS (
+  SELECT t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+)
+SELECT gram, COUNT(*) AS n_occ
+FROM grams GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 50
+"""
+
+# vocab_top_terms aggregate + fixed-point scoring; floor(x+0.5)
+# matches the Ray side's half-away-from-zero convention exactly
+# (tfidf >= 0 always: df <= N so ln(N/df) >= 0).
+ORACLE_SQL["tf_idf_terms"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+v AS (
+  SELECT w AS token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df
+  FROM tok WHERE w <> '' GROUP BY w
+)
+SELECT token, n_occ, df,
+       CAST(FLOOR(n_occ * ln((SELECT COUNT(*) FROM documents) * 1.0 / df)
+                  * 1000.0 + 0.5) AS BIGINT) AS tfidf_e3
+FROM v
 """
 
 
