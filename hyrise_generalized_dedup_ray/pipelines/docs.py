@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
 from hyrise_generalized_dedup_ray.config import (
     DEFAULT_ENGINE_CONFIG,
@@ -68,14 +67,17 @@ def exact_dedup_docs(docs: Dataset) -> Dataset:
     The reference's SELECT DISTINCT lowering — group by the value,
     no aggregate (sql_translator.cpp:1148) — plus the dictionary
     encoder's pick-one-representative semantics
-    (dictionary_encoder.hpp:61-66).  ONE shuffle keyed on text."""
-    return (
-        docs.select_columns(["doc_id", "text"])
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="rep_id"),
-                   Count(alias_name="n_copies"))
-        .select_columns(["rep_id", "n_copies"])
-    )
+    (dictionary_encoder.hpp:61-66).  ONE shuffle keyed on text, on
+    the engine's hash exchange (string keys route there via
+    relational.aggregate — Ray's sort-based groupby would range-sample
+    the text payloads, stages/exchange.py:5-11)."""
+    from hyrise_generalized_dedup_ray.relational import agg, aggregate
+
+    ag = aggregate(docs.select_columns(["doc_id", "text"]), ["text"], {
+        "rep_id": agg("min", "doc_id"),
+        "n_copies": agg("count_star"),
+    })
+    return ag.select_columns(["rep_id", "n_copies"])
 
 
 def minhash_dup_pairs(

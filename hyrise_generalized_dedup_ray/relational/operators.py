@@ -986,17 +986,24 @@ def union_all(a: Dataset, b: Dataset) -> Dataset:
     return a.union(b)
 
 
-def distinct(ds: Dataset, cols: Sequence[str] | None = None) -> Dataset:
+def distinct(ds: Dataset, cols: Sequence[str] | None = None,
+             num_partitions: int = 16) -> Dataset:
     """SELECT DISTINCT — the reference lowers it to an AggregateNode
     grouping by all columns with no aggregates (sql_translator.cpp:1148);
-    ours is the same: groupby(cols) + Count (partial-aggregated, one
-    shuffle), then drop the count."""
+    ours is the same group-by-all-keys, run on the engine's own hash
+    exchange (``_aggregate_with_distinct`` with an empty aggregate
+    dict: ONE value-hash shuffle, per-shard dictionary-code grouping,
+    first row of each group kept) — NOT Ray's sort-based groupby,
+    whose range sampling + barriers the exchange module exists to
+    avoid (stages/exchange.py:5-11).  Exact for any key type: shard
+    routing hashes values, but group identity inside the shard is the
+    actual (null-safe) tuple."""
     if cols:
         ds = ds.select_columns(list(cols))
         names = list(cols)
     else:
         names = ds.schema().names
-    return ds.groupby(names).aggregate(Count(alias_name="_n")).select_columns(names)
+    return _aggregate_with_distinct(ds, names, {}, num_partitions)
 
 
 def union_distinct(a: Dataset, b: Dataset) -> Dataset:

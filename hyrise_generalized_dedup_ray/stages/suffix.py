@@ -620,9 +620,14 @@ def substring_edges(
             "b": pa.array(b_out, type=_I64),
         })
 
-    return (
-        with_text.map_batches(add_group_pkey, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        .groupby("pkey")
-        .map_groups(suffix_partition, batch_format="pyarrow")
-    )
+    # engine hash exchange on the precomputed pkey (key_is_shard) —
+    # the sort-based groupby this replaces would range-sample and
+    # globally sort the text-heavy rows, the exact shape
+    # stages/exchange.py:5-11 documents as the scale bottleneck
+    from hyrise_generalized_dedup_ray.stages.exchange import hash_exchange
+    fallback_schema = pa.schema([
+        ("docset", _I64), ("chunk", _I64), ("doc_id", _I64),
+        ("text", pa.string()), ("pkey", _I64)])
+    return hash_exchange(with_text, add_group_pkey, "pkey",
+                         suffix_partition, kernel_partitions,
+                         fallback_schema, key_is_shard=True)

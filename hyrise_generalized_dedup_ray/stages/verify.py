@@ -538,12 +538,14 @@ def exact_dup_edges(signatures: Dataset, num_partitions: int = 32) -> Dataset:
                 "pkey", pa.array(partition_ids(th, num_partitions),
                                  type=_I64))
 
-        return (
-            with_text.map_batches(add_th_pkey, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-            .groupby("pkey")
-            .map_groups(_confirm_exact_partition, batch_format="pyarrow")
-        )
+        # engine hash exchange, NOT Ray's sort-based groupby: the
+        # rows carry full text payloads, exactly what range sampling
+        # + sorting must not touch twice (stages/exchange.py:5-11)
+        from hyrise_generalized_dedup_ray.stages.exchange import \
+            hash_exchange
+        return hash_exchange(with_text, add_th_pkey, "pkey",
+                             _confirm_exact_partition, num_partitions,
+                             _EXACT_MELT_SCHEMA, key_is_shard=True)
 
     if n_members == 0:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
