@@ -354,6 +354,52 @@ def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def jaccard_many(sets: list, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for MANY pairs at once, bit-identical to calling
+    :func:`jaccard_sorted` per pair (same intersection integer, same
+    float64 division), with NO per-pair Python iteration.
+
+    ``sets`` are sorted unique uint64 arrays (typically the per-batch
+    dictionary of distinct texts — far fewer than pairs); ``ia``/``ib``
+    index into it, one entry per candidate pair.
+
+    Kernel: (1) dedupe pairs by unordered (code, code) key — boilerplate
+    clusters repeat the same two texts across thousands of pairs;
+    (2) concatenate both sides' values tagged with a pair ordinal into
+    one array; (3) ONE global lexsort on (pair, value); (4) adjacent
+    equal values within a pair ⇒ intersection members (inputs unique,
+    so a common value appears exactly twice); bincount per pair.
+    Everything after the reference-gather is bulk numpy; the only
+    Python-level loops touch the (few) distinct sets, not the pairs."""
+    n = len(ia)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    key = np.stack([lo, hi], axis=1)
+    upair, inv = np.unique(key, axis=0, return_inverse=True)
+    ua, ub = upair[:, 0], upair[:, 1]
+    m = len(ua)
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
+                       count=len(sets))
+    la, lb = lens[ua], lens[ub]
+    vals = np.concatenate(
+        [sets[i] for i in ua] + [sets[i] for i in ub]
+        or [np.empty(0, dtype=np.uint64)])
+    pid = np.concatenate([np.repeat(np.arange(m, dtype=np.int64), la),
+                          np.repeat(np.arange(m, dtype=np.int64), lb)])
+    order = np.lexsort((vals, pid))
+    v, p = vals[order], pid[order]
+    if len(v) > 1:
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[1:][dup], minlength=m)
+    else:
+        inter = np.zeros(m, dtype=np.int64)
+    union = la + lb - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    return jac[inv]
+
+
 def distinct_shingles(texts, n: int):
     """Per-document DISTINCT word-n-gram hashes, flattened:
     ``(doc_idx, gram_hash, per_doc_distinct_count, per_doc_total)`` —

@@ -31,7 +31,7 @@ from hyrise_generalized_dedup_ray.config import (
 from hyrise_generalized_dedup_ray.functions.minhash import minhash_signatures, band_keys
 from hyrise_generalized_dedup_ray.functions.text import (
     char_shingles,
-    jaccard_sorted,
+    jaccard_many,
     unique_shingle_sets,
 )
 from hyrise_generalized_dedup_ray.stages.lsh import candidate_pairs, dedupe_pairs
@@ -237,9 +237,10 @@ class _CharJaccardVerifier:
                 order.append(t)
         flat, offsets = char_shingles(order, self.n)
         sets = unique_shingle_sets(flat, offsets)
-        jac = np.fromiter(
-            (jaccard_sorted(sets[uniq[x]], sets[uniq[y]]) for x, y in zip(ta, tb)),
-            dtype=np.float64, count=len(ta))
+        half = len(ta)
+        codes = np.fromiter((uniq[t] for t in ta + tb), dtype=np.int64,
+                            count=2 * half)
+        jac = jaccard_many(sets, codes[:half], codes[half:])
         keep = jac >= self.tau
         return pa.table({
             "a": batch.column("a").filter(pa.array(keep)),

@@ -31,7 +31,7 @@ from hyrise_generalized_dedup_ray.functions.grouping import (
 from hyrise_generalized_dedup_ray.functions.hashing import mix2
 from hyrise_generalized_dedup_ray.functions.text import (
     batch_shingles,
-    jaccard_sorted,
+    jaccard_many,
 )
 from hyrise_generalized_dedup_ray.stages.exchange import (
     count_rows,
@@ -232,11 +232,9 @@ class JaccardVerifier:
         enc = pa.concat_arrays(cols).dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         sets = self._sets_for_arrow(enc.dictionary)
-        jac = np.fromiter(
-            (jaccard_sorted(sets[idx[i]], sets[idx[n + i]])
-             for i in range(n)),
-            dtype=np.float64, count=n,
-        )
+        # grouped kernel: one lexsort over all pairs' values — no
+        # per-pair Python iteration (bit-identical to jaccard_sorted)
+        jac = jaccard_many(sets, idx[:n], idx[n:])
         keep = jac >= cfg.jaccard_threshold
         return pa.table({
             "a": batch.column("a").filter(pa.array(keep)),

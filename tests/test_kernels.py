@@ -263,3 +263,34 @@ def test_chunks_kernel_empty():
     part = pa.table({"docset": pa.array([], pa.int64()),
                      "doc_id": pa.array([], pa.int64())})
     assert chunks_kernel(part).num_rows == 0
+
+
+def test_jaccard_many_matches_scalar():
+    """Grouped pair-Jaccard kernel is bit-identical to the per-pair
+    scalar, including empty-set and repeated-pair edge cases."""
+    from hyrise_generalized_dedup_ray.functions.text import jaccard_many
+
+    rng = np.random.default_rng(11)
+    sets = [np.unique(rng.integers(0, 40, size=rng.integers(0, 30),
+                                   dtype=np.uint64).astype(np.uint64))
+            for _ in range(12)]
+    sets.append(np.empty(0, dtype=np.uint64))   # empty set edge
+    k = len(sets)
+    ia = rng.integers(0, k, size=200).astype(np.int64)
+    ib = rng.integers(0, k, size=200).astype(np.int64)
+    # force repeats (the dedupe branch) and a both-empty pair
+    ia[:10] = ia[0]; ib[:10] = ib[0]
+    ia[10] = k - 1; ib[10] = k - 1
+    got = jaccard_many(sets, ia, ib)
+    want = np.array([jaccard_sorted(sets[x], sets[y])
+                     for x, y in zip(ia, ib)])
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)   # bit-identical, not just close
+
+
+def test_jaccard_many_empty_pairs():
+    from hyrise_generalized_dedup_ray.functions.text import jaccard_many
+
+    out = jaccard_many([], np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=np.int64))
+    assert out.shape == (0,)
