@@ -81,19 +81,27 @@ def batch_docset_keys(ids: np.ndarray, starts: np.ndarray,
     over the pre-mixed ids plus two scalar ops — the per-group Python
     call disappears.  Larger groups fall back to the loop form.
     """
+    with np.errstate(over="ignore"):
+        return batch_docset_keys_raw(ids, starts, sizes)
+
+
+def batch_docset_keys_raw(ids: np.ndarray, starts: np.ndarray,
+                          sizes: np.ndarray) -> np.ndarray:
+    """:func:`batch_docset_keys` without the errstate guard — for hot
+    per-group callers that hoist one ``np.errstate`` around their whole
+    sweep (same rationale as substr._gram_hashes_raw)."""
     arr = np.asarray(ids, dtype=np.uint64)
     starts = np.asarray(starts, dtype=np.int64)
     sizes = np.asarray(sizes, dtype=np.int64)
     keys = np.empty(len(sizes), dtype=np.uint64)
     if len(sizes) == 0:
         return keys
-    with np.errstate(over="ignore"):
-        mixed = (arr + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC2B2AE3D27D4EB4F)
-        xor = np.bitwise_xor.reduceat(mixed, starts)
-        # reduceat over a segment of length 1 returns the element; a
-        # trailing empty segment can't occur (sizes >= 1 by contract)
-        keys[:] = (np.uint64(0xCBF29CE484222325) * np.uint64(0x100000001B3)
-                   + xor + sizes.astype(np.uint64))
+    mixed = (arr + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC2B2AE3D27D4EB4F)
+    xor = np.bitwise_xor.reduceat(mixed, starts)
+    # reduceat over a segment of length 1 returns the element; a
+    # trailing empty segment can't occur (sizes >= 1 by contract)
+    keys[:] = (np.uint64(0xCBF29CE484222325) * np.uint64(0x100000001B3)
+               + xor + sizes.astype(np.uint64))
     big = np.flatnonzero(sizes > 4096)
     for i in big:
         keys[i] = docset_key(arr[starts[i]:starts[i] + sizes[i]])

@@ -69,6 +69,25 @@ def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
     return pw
 
 
+def _gram_hashes_raw(b: np.ndarray, k: int) -> np.ndarray:
+    """:func:`_gram_hashes_from_u64` WITHOUT the errstate guard — for
+    hot per-document callers that hoist ONE ``np.errstate(over=
+    "ignore")`` around their whole loop (the context manager costs
+    ~14 µs/call, which dominated the suffix kernel at 200k+ calls per
+    shard sweep)."""
+    n = len(b)
+    num = n - k + 1
+    if num <= 0:
+        return np.empty(0, dtype=np.uint64)
+    powa, powi = _powers(n + 1)
+    s = np.cumsum(b * powi[:n], dtype=np.uint64)
+    pre = s * powa[:n]
+    h = pre[k - 1:].copy()
+    ak = powa[k]
+    h[1:] -= pre[:num - 1] * ak
+    return h
+
+
 def _gram_hashes_from_u64(b: np.ndarray, k: int) -> np.ndarray:
     """Shared core of :func:`gram_hashes`/:func:`batch_winnow_fingerprints`:
     H[i] = Σ_{j<k} b[i+j]·A^(k-1-j), every window at once via the
@@ -76,18 +95,8 @@ def _gram_hashes_from_u64(b: np.ndarray, k: int) -> np.ndarray:
     H[i] = pre[i+k-1] − pre[i-1]·A^k  — O(n) in ~4 vector passes
     (wraparound uint64 arithmetic is exact mod 2^64; A odd ⇒ A^-j
     exists), bit-identical to the k-pass mul-add loop it replaced."""
-    n = len(b)
-    num = n - k + 1
-    if num <= 0:
-        return np.empty(0, dtype=np.uint64)
-    powa, powi = _powers(n + 1)
     with np.errstate(over="ignore"):
-        s = np.cumsum(b * powi[:n], dtype=np.uint64)
-        pre = s * powa[:n]
-        h = pre[k - 1:].copy()
-        ak = powa[k]
-        h[1:] -= pre[:num - 1] * ak
-    return h
+        return _gram_hashes_raw(b, k)
 
 
 def gram_hashes(data: bytes, k: int = SUBSTR_K) -> np.ndarray:

@@ -278,8 +278,10 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
     PAIR, not per group, so one adversarial collision can't knock a
     whole boilerplate group onto the O(n log² n) path.
     """
+    from hyrise_generalized_dedup_ray.functions.pairs import \
+        batch_docset_keys_raw
     from hyrise_generalized_dedup_ray.functions.substr import (
-        _gram_hashes_from_u64,
+        _gram_hashes_raw,
         PAIRWISE_MAX_BYTES,
         PAIRWISE_MAX_GROUP,
     )
@@ -319,7 +321,8 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
             if c <= 0:
                 g = None
             else:
-                h = _gram_hashes_from_u64(
+                # raw variant: ONE np.errstate wraps the whole kernel
+                h = _gram_hashes_raw(
                     flat[offs[p]: offs[p + 1]].astype(np.uint64), min_len)
                 o = np.argsort(h)  # introsort; any occurrence verifies
                 hs = h[o]
@@ -334,15 +337,16 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         return flat_bytes[offs[p]: offs[p + 1]]
 
     decided: dict[int, bool] = {}
-    a_out: list[int] = []
-    b_out: list[int] = []
+    # edges accumulate as pi*n_docs+pj KEY ARRAYS (pi < pj positions in
+    # dids_sorted), deduped once at the end with a single np.unique —
+    # the per-edge dict-check + two list appends this replaces were
+    # ~1.7 s of pure Python per 1M edges at the 240k point
+    sweep_keys: list[np.ndarray] = []
+    slow_keys: list[int] = []
 
-    def emit(pi: int, pj: int) -> None:
-        x, y = int(dids_sorted[pi]), int(dids_sorted[pj])
-        a_out.append(min(x, y))
-        b_out.append(max(x, y))
+    _EMPTY_PAIRS = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
 
-    def sweep_group(idxs: list[int]):
+    def sweep_group(idxs):
         """All qualifying pairs of one in-bounds group in ONE vectorized
         sweep — bit-equal to running :func:`decide_pair` over every
         pair.  Concatenate the members' sorted unique gram hashes, find
@@ -360,19 +364,21 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         Cost: one argsort + one small matmul per group instead of
         g(g-1)/2 searchsorted intersections — the 64-doc boilerplate
         chunks that dominate pair tests (≥70% at 240k docs) drop from
-        ~2000 numpy-call rounds to ~10."""
+        ~2000 numpy-call rounds to ~10.  Returns (pi, pj) POSITION
+        arrays (pi < pj, indices into dids_sorted), or None on a
+        collision."""
         live: list[int] = []
         arrs: list[np.ndarray] = []
         wits: list[np.ndarray] = []
         for p in idxs:
-            gr = grams_of(p)
+            gr = grams_of(int(p))
             if gr is None:
                 continue
-            live.append(p)
+            live.append(int(p))
             arrs.append(gr[0])
             wits.append(gr[1].astype(np.int64) + int(offs[p]))
         if len(arrs) < 2:
-            return []
+            return _EMPTY_PAIRS
         lens_ = np.array([len(a) for a in arrs], dtype=np.int64)
         H = np.concatenate(arrs)
         W = np.concatenate(wits)
@@ -386,7 +392,7 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         counts = np.bincount(rid)
         multi = counts[rid] >= 2
         if not multi.any():
-            return []
+            return _EMPTY_PAIRS
         We, SLe = W[multi], SL[multi]
         RIDe = rid[multi]
         first = np.empty(len(RIDe), dtype=bool)
@@ -402,22 +408,30 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         # are sorted and batch_docset_keys is the pipeline's standard
         # set identity (same collision-accepting hash the upstream
         # docset grouping already rests on).
-        keys_r = batch_docset_keys(SLe.astype(np.int64), run_starts,
-                                   sizes_r)
+        keys_r = batch_docset_keys_raw(SLe.astype(np.int64), run_starts,
+                                       sizes_r)
         _, rep = np.unique(keys_r, return_index=True)
-        span = np.arange(min_len)
+        # byte-verify EVERY entry of every representative run against
+        # its run head in one gather + one compare (the per-rep loop
+        # this replaces paid an np.ix_ / fancy-index pair per run —
+        # ~168k numpy calls across a 240k-doc sweep)
+        cnt_r = sizes_r[rep]
+        tot = int(cnt_r.sum())
+        base = np.concatenate([[0], np.cumsum(cnt_r)[:-1]])
+        ent = np.arange(tot) + np.repeat(run_starts[rep] - base, cnt_r)
+        w = We[ent]
+        aw = flat[w[:, None] + np.arange(min_len)]
+        if (aw != aw[np.repeat(base, cnt_r)]).any():
+            return None  # collision inside a run — exact fallback
+        # clique closure: one (runs × docs) incidence matmul instead
+        # of per-run Mb[np.ix_] writes
         g_n = len(arrs)
-        Mb = np.zeros((g_n, g_n), dtype=bool)
-        for r in rep:
-            s0, e0 = int(run_starts[r]), int(run_ends[r])
-            w = We[s0:e0]
-            aw = flat[w[:, None] + span]
-            if (aw != aw[0]).any():
-                return None  # collision inside a run — exact fallback
-            hs = SLe[s0:e0]
-            Mb[np.ix_(hs, hs)] = True
+        inc = np.zeros((len(rep), g_n), dtype=np.int32)  # counts can't wrap
+        inc[np.repeat(np.arange(len(rep)), cnt_r), SLe[ent]] = 1
+        Mb = inc.T @ inc
         ii, jj = np.nonzero(np.triu(Mb, 1))
-        return [(live[i_], live[j_]) for i_, j_ in zip(ii, jj)]
+        live_arr = np.array(live, dtype=np.int64)
+        return live_arr[ii], live_arr[jj]
 
     def decide_pair(pi: int, pj: int) -> bool:
         """Exact 'share a ≥min_len run?' for two shard docs — gram-set
@@ -453,53 +467,63 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         # collisions only — exact two-doc resolution
         return bool(cross_doc_repeats([text_of(pi), text_of(pj)], min_len))
 
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        gids = ids_sorted[s:e]
-        pos = np.searchsorted(dids_sorted, gids)
-        pos_c = np.minimum(pos, len(dids_sorted) - 1)
-        ok = dids_sorted[pos_c] == gids
-        if not ok.all():
-            pos_c = pos_c[ok]
-            if len(pos_c) < 2:
+    # one errstate for the WHOLE sweep: grams_of / batch_docset_keys
+    # run their raw (unguarded) forms inside it
+    with np.errstate(over="ignore"):
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-        idxs = sorted(int(p) for p in pos_c)
-        g = len(idxs)
-        if (g <= PAIRWISE_MAX_GROUP
-                and int(lens[idxs].sum()) <= PAIRWISE_MAX_BYTES):
-            pairs = sweep_group(idxs) if g > 2 else None
-            if pairs is not None:
-                for pi, pj in pairs:
-                    key = pi * n_docs + pj
-                    if not decided.get(key):
-                        decided[key] = True
-                        emit(pi, pj)
+            gids = ids_sorted[s:e]
+            pos = np.searchsorted(dids_sorted, gids)
+            pos_c = np.minimum(pos, len(dids_sorted) - 1)
+            ok = dids_sorted[pos_c] == gids
+            if not ok.all():
+                pos_c = pos_c[ok]
+            # gids is ascending and unique within a group and
+            # dids_sorted is sorted, so pos_c is already sorted unique
+            idxs = pos_c
+            g = len(idxs)
+            if g < 2:
                 continue
-            for a_i in range(g):
-                pi = idxs[a_i]
-                for b_i in range(a_i + 1, g):
-                    pj = idxs[b_i]
-                    key = pi * n_docs + pj
-                    v = decided.get(key)
-                    if v is None:
-                        v = decide_pair(pi, pj)
-                        decided[key] = v
+            if (g <= PAIRWISE_MAX_GROUP
+                    and int(lens[idxs].sum()) <= PAIRWISE_MAX_BYTES):
+                pairs = sweep_group(idxs) if g > 2 else None
+                if pairs is not None:
+                    pi_a, pj_a = pairs
+                    if len(pi_a):
+                        sweep_keys.append(pi_a * n_docs + pj_a)
+                    continue
+                for a_i in range(g):
+                    pi = int(idxs[a_i])
+                    for b_i in range(a_i + 1, g):
+                        pj = int(idxs[b_i])
+                        key = pi * n_docs + pj
+                        v = decided.get(key)
+                        if v is None:
+                            v = decide_pair(pi, pj)
+                            decided[key] = v
                         if v:
-                            emit(pi, pj)
-            continue
-        # oversized group (> byte bound): suffix array over the chunk,
-        # adjacent-pair subset (connectivity-equivalent), as before
-        chunk_texts = [text_of(p) for p in idxs]
-        for ia, ib in cross_doc_repeats(chunk_texts, min_len):
-            pi, pj = idxs[ia], idxs[ib]
-            key = pi * n_docs + pj
-            if not decided.get(key):
-                decided[key] = True
-                emit(pi, pj)
+                            slow_keys.append(key)
+                continue
+            # oversized group (> byte bound): suffix array over the
+            # chunk, adjacent-pair subset (connectivity-equivalent)
+            chunk_texts = [text_of(int(p)) for p in idxs]
+            for ia, ib in cross_doc_repeats(chunk_texts, min_len):
+                slow_keys.append(int(idxs[ia]) * n_docs + int(idxs[ib]))
+    parts_k = sweep_keys
+    if slow_keys:
+        parts_k = parts_k + [np.array(slow_keys, dtype=np.int64)]
+    if not parts_k:
+        return _EDGE_SCHEMA.empty_table()
+    keys_all = np.unique(np.concatenate(parts_k))
+    pi_f = keys_all // n_docs
+    pj_f = keys_all % n_docs
+    # positions index dids_sorted (ascending unique) and pi < pj, so
+    # a < b without a min/max pass — the same edge set the per-pair
+    # emit produced, deduped in one vectorized unique
     return pa.table({
-        "a": pa.array(a_out, type=_I64),
-        "b": pa.array(b_out, type=_I64),
+        "a": pa.array(dids_sorted[pi_f], type=_I64),
+        "b": pa.array(dids_sorted[pj_f], type=_I64),
     })
 
 
@@ -508,6 +532,93 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
 # hash-joining texts — the same size-guarded strategy selection as
 # stages/verify.attach_texts; 25M rows ≈ 0.6 GB of index state.
 BROADCAST_GROUPS_MAX = 25_000_000
+
+# subset pruning runs up to this many member rows (the per-group loop
+# in _prune_subset_chunks is ~10 µs/group in one Ray task); above it
+# the redundancy is tolerated — pruning affects only work volume,
+# never the edge semantics.
+PRUNE_MEMBERS_MAX = 8_000_000
+
+
+def prune_subset_chunks(gt: pa.Table) -> pa.Table:
+    """Drop every (docset, chunk) group whose member set is a STRICT
+    subset of another group's.
+
+    Soundness: the fused kernel sweeps each group over its members'
+    FULL gram-hash sets (not just the group's own fingerprint), so any
+    pair of a subset group is tested — with identical gram data and
+    identical verdicts — inside the superset group's sweep.  Subsets
+    are rampant by construction: a long shared run emits one docset
+    per winnowed fingerprint, and runs shared by extra documents over
+    sub-intervals nest their docsets (measured 61% strict-subset
+    groups on the 240k-page fixture).  Pruning shrinks both the melt
+    shuffle (docs whose groups all died ship nowhere) and the kernel's
+    group loop ~2.6×.
+
+    Containment test per group: its rarest member (fewest group
+    memberships) yields the candidate supersets; sorted-array
+    searchsorted confirms.  Strictness (|B| > |A|) suffices because
+    identical docsets share one docset key and were deduplicated by
+    the upstream exchange.  Transitive chains are safe: maximal
+    groups are never pruned."""
+    if gt.num_rows == 0:
+        return gt
+    ds = gt.column("docset").to_numpy(zero_copy_only=False)
+    ck = gt.column("chunk").to_numpy(zero_copy_only=False)
+    ids = gt.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ck, ds))
+    ds_s, ck_s, ids_s = ds[order], ck[order], ids[order]
+    nb = np.empty(len(ids_s), dtype=bool)
+    nb[0] = True
+    nb[1:] = (ds_s[1:] != ds_s[:-1]) | (ck_s[1:] != ck_s[:-1])
+    gid = np.cumsum(nb) - 1
+    n_groups = int(gid[-1]) + 1
+    starts = np.flatnonzero(nb)
+    sizes = np.diff(np.append(starts, len(ids_s)))
+    # doc → groups adjacency (CSR over doc codes)
+    docs_u, doc_inv = np.unique(ids_s, return_inverse=True)
+    deg = np.bincount(doc_inv)
+    ao = np.argsort(doc_inv, kind="stable")
+    adj_groups = gid[ao]
+    adj_starts = np.concatenate([[0], np.cumsum(deg)])
+    # rarest member per group: rows sorted by (gid, degree) — the
+    # first row of each gid is a minimum-degree member
+    o2 = np.lexsort((deg[doc_inv], gid))
+    g2 = gid[o2]
+    f2 = np.empty(len(g2), dtype=bool)
+    f2[0] = True
+    np.not_equal(g2[1:], g2[:-1], out=f2[1:])
+    rare_doc = doc_inv[o2[f2]]
+    keep_group = np.ones(n_groups, dtype=bool)
+    for g in range(n_groups):
+        m = rare_doc[g]
+        lo, hi = adj_starts[m], adj_starts[m + 1]
+        if hi - lo < 2:
+            continue
+        a = ids_s[starts[g]: starts[g] + sizes[g]]
+        for b in adj_groups[lo:hi]:
+            if b == g or sizes[b] <= sizes[g]:
+                continue
+            bm = ids_s[starts[b]: starts[b] + sizes[b]]
+            pos = np.searchsorted(bm, a)
+            pos = np.minimum(pos, len(bm) - 1)
+            if np.array_equal(bm[pos], a):
+                keep_group[g] = False
+                break
+    if keep_group.all():
+        return gt
+    row_keep = np.repeat(keep_group, sizes)
+    sel = np.zeros(len(ids_s), dtype=bool)
+    sel[order[row_keep]] = True
+    return gt.filter(pa.array(sel))
+
+
+@ray.remote
+def _prune_subset_chunks_task(*tables: pa.Table) -> pa.Table:
+    ts = [t for t in tables if t.num_rows]
+    if not ts:
+        return _CHUNK_SCHEMA.empty_table()
+    return prune_subset_chunks(pa.concat_tables(ts))
 
 
 def substring_edges(
@@ -536,10 +647,16 @@ def substring_edges(
     from hyrise_generalized_dedup_ray.stages.exchange import count_rows
     n_member_rows = count_rows(group_refs) if group_refs else 0
     if n_member_rows <= BROADCAST_GROUPS_MAX:
-        tables = [t for t in ray.get(group_refs) if t.num_rows] \
-            if group_refs else []
-        gt = pa.concat_tables(tables) if tables else \
-            _CHUNK_SCHEMA.empty_table()
+        if group_refs and 0 < n_member_rows <= PRUNE_MEMBERS_MAX:
+            # strict-subset groups (61% at 240k) do only redundant
+            # work — drop them BEFORE the melt so their text never
+            # ships (see prune_subset_chunks for the soundness note)
+            gt = ray.get(_prune_subset_chunks_task.remote(*group_refs))
+        else:
+            tables = [t for t in ray.get(group_refs) if t.num_rows] \
+                if group_refs else []
+            gt = pa.concat_tables(tables) if tables else \
+                _CHUNK_SCHEMA.empty_table()
         # broadcast the (docset, chunk, doc_id) membership index (~24
         # B/row): membership rows ship WITHOUT text (seeded per shard,
         # tiny), and each doc's text ships AT MOST ONCE PER SHARD
