@@ -359,6 +359,21 @@ def main() -> None:
         "stage_secs": r["flagship"].get("stage_secs"),
         "sf": float(sf), "num_cpus": num_cpus,
     }
+    if not (args.flagship_only or args.pages_fixture):
+        # large-corpus point in the per-round artifact (VERDICT r4 #6):
+        # the N-doc pages fixture, fresh session, so round-over-round
+        # scale trends are machine-diffable rather than prose-only.
+        # GRAFT_LARGE_DOCS=0 skips; 2000000 reproduces the 2M record.
+        large_docs = int(os.environ.get("GRAFT_LARGE_DOCS", "240000"))
+        if large_docs:
+            rl = bench_once(sf_dir, num_cpus, flagship_only=True,
+                            pages_fixture=large_docs)
+            out["large_corpus"] = {
+                "docs": large_docs,
+                "secs": round(rl["flagship"]["secs"], 3),
+                "docs_per_sec": round(rl["flagship"]["docs_per_sec"], 1),
+                "stage_secs": rl["flagship"].get("stage_secs"),
+            }
     print(json.dumps(out))
 
 
