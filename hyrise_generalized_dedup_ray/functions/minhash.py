@@ -47,9 +47,17 @@ def minhash_signatures(
     nonempty = counts > 0
     # reduceat needs strictly valid start indices; restrict to non-empty docs
     starts = offsets[:-1][nonempty]
+    # ONE reused buffer for the permuted values: the expression form
+    # allocated three |flat|-sized temporaries per permutation, and at
+    # 128 perms the alloc/fault churn measured 1.6× the kernel (the
+    # modulo itself is fast — a Mersenne-fold rewrite measured SLOWER
+    # than numpy's scalar %, see BASELINE.md round-4 negative results)
+    hv = np.empty_like(flat)
     with np.errstate(over="ignore"):
         for k in range(cfg.num_perms):
-            hv = (a[k] * flat + b[k]) % _MOD
+            np.multiply(flat, a[k], out=hv)
+            hv += b[k]
+            np.remainder(hv, _MOD, out=hv)
             sig[nonempty, k] = np.minimum.reduceat(hv, starts)
     return sig
 
@@ -79,9 +87,11 @@ def simhash_signatures(
     fingerprint = np.zeros(ndocs, dtype=np.uint64)
     half = counts[nonempty].astype(np.float64) / 2.0
     fp_ne = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    bit = np.empty_like(remixed)  # reused per-bit buffer (see minhash)
     for j in range(64):
-        bit = ((remixed >> _U64(j)) & _U64(1)).view(np.int64)
-        sums = np.add.reduceat(bit, starts)
+        np.right_shift(remixed, _U64(j), out=bit)
+        np.bitwise_and(bit, _U64(1), out=bit)
+        sums = np.add.reduceat(bit.view(np.int64), starts)
         fp_ne |= (sums > half).astype(np.uint64) << _U64(j)
     fingerprint[nonempty] = fp_ne
     out[:] = fingerprint

@@ -202,8 +202,17 @@ def winnow_fingerprints_csr(
     lens = np.diff(offs)
     n = len(buf)
     num = n - k + 1
+    S = None
     if num > 0:
         h = _gram_hashes_from_u64(buf, k)
+        if len(h) >= w:
+            # ONE global two-pass sliding min: a window starting
+            # inside doc i's valid gram slots [offs[i], offs[i]+cnt)
+            # reads only those slots (p + w <= offs[i] + cnt), so the
+            # per-doc output is exactly S[offs[i] : offs[i]+cnt-w+1] —
+            # bit-identical to per-doc _sliding_min, without ~8 numpy
+            # calls per document (the signer's hottest per-doc loop)
+            S = _sliding_min(h, w)
     out: list[np.ndarray] = []
     empty = np.empty(0, dtype=np.uint64)
     for i in range(ndocs):
@@ -211,8 +220,10 @@ def winnow_fingerprints_csr(
         if cnt <= 0:
             out.append(empty)
             continue
-        hh = h[offs[i] : offs[i] + cnt]
-        out.append(np.unique(hh) if cnt < w else np.unique(_sliding_min(hh, w)))
+        if cnt < w or S is None:
+            out.append(np.unique(h[offs[i] : offs[i] + cnt]))
+        else:
+            out.append(np.unique(S[offs[i] : offs[i] + cnt - w + 1]))
     return out
 
 

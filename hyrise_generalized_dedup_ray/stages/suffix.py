@@ -281,7 +281,6 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
     from hyrise_generalized_dedup_ray.functions.pairs import \
         batch_docset_keys_raw
     from hyrise_generalized_dedup_ray.functions.substr import (
-        _gram_hashes_raw,
         PAIRWISE_MAX_BYTES,
         PAIRWISE_MAX_GROUP,
     )
@@ -312,18 +311,30 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
     order3, starts, ends = sort_groups((dsk, ck), order_by=(ids,))
     ids_sorted = ids[order3]
 
+    # whole-shard gram hashes in ONE chunked pass (gram_hashes_csr:
+    # 2 MiB chunks at doc boundaries, bit-identical to per-doc
+    # hashing).  8 B per text byte of shard-local transient — bounded
+    # by shard sizing (kernel_partitions tracks 2× cluster CPUs, so a
+    # shard is corpus_melt/(2·CPUs)); per-doc valid slice is
+    # H_csr[offs[p] : offs[p] + cnts[p]].  Replaces ~1M per-doc
+    # hash calls whose numpy dispatch dominated the 2M profile.
+    from hyrise_generalized_dedup_ray.functions.substr import \
+        gram_hashes_csr
+    H_csr = gram_hashes_csr(flat, offs, min_len)
+
     gram_cache: list = [False] * n_docs
 
     def grams_of(p: int):
+        """Sorted unique gram hashes + witness in-doc offsets of one
+        doc — used by the pairwise/collision paths only (sweep_group
+        reads raw H_csr slices directly)."""
         g = gram_cache[p]
         if g is False:
             c = int(cnts[p])
             if c <= 0:
                 g = None
             else:
-                # raw variant: ONE np.errstate wraps the whole kernel
-                h = _gram_hashes_raw(
-                    flat[offs[p]: offs[p + 1]].astype(np.uint64), min_len)
+                h = H_csr[offs[p]: offs[p] + c]
                 o = np.argsort(h)  # introsort; any occurrence verifies
                 hs = h[o]
                 keep = np.empty(len(hs), dtype=bool)
@@ -364,25 +375,32 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
         Cost: one argsort + one small matmul per group instead of
         g(g-1)/2 searchsorted intersections — the 64-doc boilerplate
         chunks that dominate pair tests (≥70% at 240k docs) drop from
-        ~2000 numpy-call rounds to ~10.  Returns (pi, pj) POSITION
-        arrays (pi < pj, indices into dids_sorted), or None on a
-        collision."""
-        live: list[int] = []
+        ~2000 numpy-call rounds to ~10.  Consumes per-doc UNIQUE gram
+        sets (grams_of, cached per shard): repetitive boilerplate
+        documents have raw gram counts 10-100× their unique counts,
+        so deduping per doc BEFORE the group concat is the volume
+        lever (a raw-slice variant measured 1.5× slower at the 2M
+        point).  Returns (pi, pj) POSITION arrays (pi < pj, indices
+        into dids_sorted), or None on a collision."""
+        live_l: list[int] = []
         arrs: list[np.ndarray] = []
         wits: list[np.ndarray] = []
         for p in idxs:
             gr = grams_of(int(p))
             if gr is None:
                 continue
-            live.append(int(p))
+            live_l.append(int(p))
             arrs.append(gr[0])
-            wits.append(gr[1].astype(np.int64) + int(offs[p]))
+            wits.append(gr[1])
         if len(arrs) < 2:
             return _EMPTY_PAIRS
-        lens_ = np.array([len(a) for a in arrs], dtype=np.int64)
+        live = np.array(live_l, dtype=np.int64)
+        lens_ = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                            count=len(arrs))
         H = np.concatenate(arrs)
-        W = np.concatenate(wits)
-        SL = np.repeat(np.arange(len(arrs)), lens_)
+        W = np.concatenate(wits) if len(wits) > 1 else wits[0]
+        W = W + np.repeat(offs[live].astype(np.int64), lens_)
+        SL = np.repeat(np.arange(len(live), dtype=np.int64), lens_)
         o = np.argsort(H, kind="stable")
         H, W, SL = H[o], W[o], SL[o]
         newrun = np.empty(len(H), dtype=bool)
@@ -425,13 +443,11 @@ def _suffix_fused_kernel(part: pa.Table, min_len: int) -> pa.Table:
             return None  # collision inside a run — exact fallback
         # clique closure: one (runs × docs) incidence matmul instead
         # of per-run Mb[np.ix_] writes
-        g_n = len(arrs)
-        inc = np.zeros((len(rep), g_n), dtype=np.int32)  # counts can't wrap
+        inc = np.zeros((len(rep), len(live)), dtype=np.int32)  # can't wrap
         inc[np.repeat(np.arange(len(rep)), cnt_r), SLe[ent]] = 1
         Mb = inc.T @ inc
         ii, jj = np.nonzero(np.triu(Mb, 1))
-        live_arr = np.array(live, dtype=np.int64)
-        return live_arr[ii], live_arr[jj]
+        return live[ii], live[jj]
 
     def decide_pair(pi: int, pj: int) -> bool:
         """Exact 'share a ≥min_len run?' for two shard docs — gram-set
@@ -589,8 +605,30 @@ def prune_subset_chunks(gt: pa.Table) -> pa.Table:
     f2[0] = True
     np.not_equal(g2[1:], g2[:-1], out=f2[1:])
     rare_doc = doc_inv[o2[f2]]
-    keep_group = np.ones(n_groups, dtype=bool)
-    for g in range(n_groups):
+    state = {"ids_s": ids_s, "starts": starts, "sizes": sizes,
+             "adj_groups": adj_groups, "adj_starts": adj_starts,
+             "rare_doc": rare_doc}
+    keep_group = _prune_scan(state, 0, n_groups)
+    if keep_group.all():
+        return gt
+    row_keep = np.repeat(keep_group, sizes)
+    sel = np.zeros(len(ids_s), dtype=bool)
+    sel[order[row_keep]] = True
+    return gt.filter(pa.array(sel))
+
+
+def _prune_scan(state: dict, g_lo: int, g_hi: int) -> np.ndarray:
+    """Containment scan over groups [g_lo, g_hi) — the per-group loop
+    of :func:`prune_subset_chunks`, split out so the remote path can
+    fan it out over a shared read-only index."""
+    ids_s = state["ids_s"]
+    starts = state["starts"]
+    sizes = state["sizes"]
+    adj_groups = state["adj_groups"]
+    adj_starts = state["adj_starts"]
+    rare_doc = state["rare_doc"]
+    keep = np.ones(g_hi - g_lo, dtype=bool)
+    for g in range(g_lo, g_hi):
         m = rare_doc[g]
         lo, hi = adj_starts[m], adj_starts[m + 1]
         if hi - lo < 2:
@@ -603,14 +641,20 @@ def prune_subset_chunks(gt: pa.Table) -> pa.Table:
             pos = np.searchsorted(bm, a)
             pos = np.minimum(pos, len(bm) - 1)
             if np.array_equal(bm[pos], a):
-                keep_group[g] = False
+                keep[g - g_lo] = False
                 break
-    if keep_group.all():
-        return gt
-    row_keep = np.repeat(keep_group, sizes)
-    sel = np.zeros(len(ids_s), dtype=bool)
-    sel[order[row_keep]] = True
-    return gt.filter(pa.array(sel))
+    return keep
+
+
+@ray.remote
+def _prune_scan_task(state, g_lo: int, g_hi: int) -> np.ndarray:
+    return _prune_scan(state, g_lo, g_hi)
+
+
+# above this many groups the containment scan fans out over child
+# tasks sharing one object-store copy of the index (the scan is an
+# embarrassingly parallel read-only loop; ~10 µs/group serial)
+_PRUNE_SCAN_PARALLEL_MIN = 50_000
 
 
 @ray.remote
@@ -618,7 +662,49 @@ def _prune_subset_chunks_task(*tables: pa.Table) -> pa.Table:
     ts = [t for t in tables if t.num_rows]
     if not ts:
         return _CHUNK_SCHEMA.empty_table()
-    return prune_subset_chunks(pa.concat_tables(ts))
+    gt = pa.concat_tables(ts)
+    if gt.num_rows == 0:
+        return gt
+    ds = gt.column("docset").to_numpy(zero_copy_only=False)
+    ck = gt.column("chunk").to_numpy(zero_copy_only=False)
+    ids = gt.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ck, ds))
+    ds_s, ck_s, ids_s = ds[order], ck[order], ids[order]
+    nb = np.empty(len(ids_s), dtype=bool)
+    nb[0] = True
+    nb[1:] = (ds_s[1:] != ds_s[:-1]) | (ck_s[1:] != ck_s[:-1])
+    gid = np.cumsum(nb) - 1
+    n_groups = int(gid[-1]) + 1
+    if n_groups < _PRUNE_SCAN_PARALLEL_MIN:
+        return prune_subset_chunks(gt)
+    starts = np.flatnonzero(nb)
+    sizes = np.diff(np.append(starts, len(ids_s)))
+    docs_u, doc_inv = np.unique(ids_s, return_inverse=True)
+    deg = np.bincount(doc_inv)
+    ao = np.argsort(doc_inv, kind="stable")
+    adj_groups = gid[ao]
+    adj_starts = np.concatenate([[0], np.cumsum(deg)])
+    o2 = np.lexsort((deg[doc_inv], gid))
+    g2 = gid[o2]
+    f2 = np.empty(len(g2), dtype=bool)
+    f2[0] = True
+    np.not_equal(g2[1:], g2[:-1], out=f2[1:])
+    rare_doc = doc_inv[o2[f2]]
+    state_ref = ray.put({"ids_s": ids_s, "starts": starts,
+                         "sizes": sizes, "adj_groups": adj_groups,
+                         "adj_starts": adj_starts,
+                         "rare_doc": rare_doc})
+    k = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    bounds = np.linspace(0, n_groups, k + 1).astype(np.int64)
+    keep_group = np.concatenate(ray.get(
+        [_prune_scan_task.remote(state_ref, int(a), int(b))
+         for a, b in zip(bounds[:-1], bounds[1:]) if b > a]))
+    if keep_group.all():
+        return gt
+    row_keep = np.repeat(keep_group, sizes)
+    sel = np.zeros(len(ids_s), dtype=bool)
+    sel[order[row_keep]] = True
+    return gt.filter(pa.array(sel))
 
 
 def substring_edges(
