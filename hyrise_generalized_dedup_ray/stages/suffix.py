@@ -662,6 +662,40 @@ def _prune_subset_chunks_task(*tables: pa.Table) -> pa.Table:
     ts = [t for t in tables if t.num_rows]
     if not ts:
         return _CHUNK_SCHEMA.empty_table()
+    return _prune_concat(ts)
+
+
+@ray.remote
+def _prune_and_seed_task(P: int, *tables: pa.Table):
+    """Fused prune + kernel-stage prep, all off-driver (one task,
+    ``num_returns=P+1``): prune subset chunks, build the per-shard
+    member seed tables and the sorted doc→shard index the melt
+    broadcasts.  Replaces a gt→driver→seeds round-trip on the
+    substring branch's critical path."""
+    from hyrise_generalized_dedup_ray.stages.exchange import split_by_key
+
+    ts = [t for t in tables if t.num_rows]
+    gt = _prune_concat(ts) if ts else _CHUNK_SCHEMA.empty_table()
+    g_ds = gt.column("docset").to_numpy(zero_copy_only=False)
+    g_ch = gt.column("chunk").to_numpy(zero_copy_only=False)
+    g_id = gt.column("doc_id").to_numpy(zero_copy_only=False)
+    g_pk = partition_ids(mix2(g_ds.view(np.uint64), g_ch.view(np.uint64)),
+                         P) if len(g_id) else np.empty(0, dtype=np.int64)
+    m = len(g_id)
+    member_table = pa.table({
+        "pkey": pa.array(g_pk, type=_I64),
+        "kind": pa.array(np.zeros(m, dtype=np.int64), type=_I64),
+        "docset": pa.array(g_ds, type=_I64),
+        "chunk": pa.array(g_ch, type=_I64),
+        "doc_id": pa.array(g_id, type=_I64),
+        "text": pa.nulls(m, type=pa.string()),
+    }, schema=_FUSED_SCHEMA)
+    seeds = split_by_key(member_table, g_pk, P, key_is_shard=True)
+    order = np.argsort(g_id, kind="stable")
+    return (*seeds, {"md": g_id[order], "mpk": g_pk[order]})
+
+
+def _prune_concat(ts: list) -> pa.Table:
     gt = pa.concat_tables(ts)
     if gt.num_rows == 0:
         return gt
@@ -736,13 +770,29 @@ def substring_edges(
         if group_refs and 0 < n_member_rows <= PRUNE_MEMBERS_MAX:
             # strict-subset groups (61% at 240k) do only redundant
             # work — drop them BEFORE the melt so their text never
-            # ships (see prune_subset_chunks for the soundness note)
-            gt = ray.get(_prune_subset_chunks_task.remote(*group_refs))
-        else:
-            tables = [t for t in ray.get(group_refs) if t.num_rows] \
-                if group_refs else []
-            gt = pa.concat_tables(tables) if tables else \
-                _CHUNK_SCHEMA.empty_table()
+            # ships (see prune_subset_chunks for the soundness note).
+            # Prune + seed + index build run fused in ONE off-driver
+            # task; the driver holds only refs.
+            parts = _prune_and_seed_task.options(
+                num_returns=kernel_partitions + 1).remote(
+                kernel_partitions, *group_refs)
+            seed_refs = list(parts[:kernel_partitions])
+            ref = parts[kernel_partitions]
+            edge_refs = hash_exchange_refs(
+                signatures.to_arrow_refs(),
+                functools.partial(_melt_group_texts, ref=ref,
+                                  P=kernel_partitions),
+                "pkey",
+                functools.partial(_suffix_fused_kernel, min_len=min_len),
+                kernel_partitions, _FUSED_SCHEMA,
+                seed_shards=seed_refs, key_is_shard=True)
+            if not edge_refs:
+                return ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+            return ray.data.from_arrow_refs(edge_refs)
+        tables = [t for t in ray.get(group_refs) if t.num_rows] \
+            if group_refs else []
+        gt = pa.concat_tables(tables) if tables else \
+            _CHUNK_SCHEMA.empty_table()
         # broadcast the (docset, chunk, doc_id) membership index (~24
         # B/row): membership rows ship WITHOUT text (seeded per shard,
         # tiny), and each doc's text ships AT MOST ONCE PER SHARD
