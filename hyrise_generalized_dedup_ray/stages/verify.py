@@ -178,7 +178,12 @@ def _attach_texts_broadcast(
 # per-worker-process shingle-set cache: a hot document (boilerplate,
 # big dup cluster) appears in thousands of candidate pairs spread over
 # many batches — re-shingling it per batch dominated the verify stage.
-# Keyed by (config hash, full text — exact, no collision risk); bounded FIFO.
+# Keyed by (config hash, u64 polynomial text hash over the zero-copy
+# Arrow buffers — substr.text_hashes_csr): the engine-wide
+# collision-accepting u64 text-identity convention (exact_dedup_best —
+# P[collision] ≈ n²/2⁶⁵); Python-string keys cost a to_pylist
+# materialization of every distinct text per chunk.  Bounded FIFO;
+# per-process, so the key only needs process-level stability.
 _SHINGLE_CACHE: dict = {}
 _SHINGLE_CACHE_MAX = 8192
 
@@ -193,18 +198,22 @@ class JaccardVerifier:
 
     def _sets_for_arrow(self, uniq_col: pa.Array) -> list[np.ndarray]:
         """Shingle sets for an Arrow array of DISTINCT texts.  Cache
-        keys are the Python strings (exact, no collision risk) — but
-        only the uniques are materialized, and only the cache-missing
-        ones are shingled, on the zero-copy Arrow path."""
-        from hyrise_generalized_dedup_ray.functions.text import \
-            batch_shingles_arrow
+        keys are u64 text hashes (see _SHINGLE_CACHE note); only the
+        cache-missing texts are shingled, on the zero-copy Arrow
+        path."""
+        from hyrise_generalized_dedup_ray.functions.substr import \
+            text_hashes_csr
+        from hyrise_generalized_dedup_ray.functions.text import (
+            batch_shingles_arrow,
+            utf8_csr,
+        )
 
         cfg = self.cfg
         # resolve through a batch-local list so FIFO eviction during
         # this batch's inserts can never invalidate this batch's lookups
-        keys = uniq_col.to_pylist()
+        keys = text_hashes_csr(*utf8_csr(uniq_col))
         out: list[np.ndarray | None] = [
-            _SHINGLE_CACHE.get((self.cfg_key, t)) for t in keys]
+            _SHINGLE_CACHE.get((self.cfg_key, int(k))) for k in keys]
         missing = [i for i, v in enumerate(out) if v is None]
         if missing:
             flat, offsets = batch_shingles_arrow(
@@ -215,7 +224,7 @@ class JaccardVerifier:
                 out[i] = s
                 if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
                     _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
-                _SHINGLE_CACHE[(self.cfg_key, keys[i])] = s
+                _SHINGLE_CACHE[(self.cfg_key, int(keys[i]))] = s
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
