@@ -386,15 +386,29 @@ def jaccard_many(sets: list, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
     lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
                        count=len(sets))
     allv = np.concatenate(sets) if len(sets) else np.empty(0, np.uint64)
-    uvals = np.unique(allv)
+    # ONE unique(return_inverse) encodes every set's values to dense
+    # codes (a per-set searchsorted loop measured 4.5 s / 120k calls
+    # on 4 shards — it dominated); per-pair gathers are then pure
+    # index arithmetic on the flat code array via range-concat
+    uvals, codes_flat = np.unique(allv, return_inverse=True)
+    codes_flat = codes_flat.astype(np.uint64)
     # batch-local invariants of the 32-bit packings (sets and pairs
     # are per-verify-chunk, orders of magnitude below 2^32)
     assert len(uvals) < (1 << 32) and len(sets) < (1 << 32)
-    codes = [np.searchsorted(uvals, s).astype(np.uint64) for s in sets]
+    set_offs = np.concatenate([[0], np.cumsum(lens)])
+
+    def seg_gather(idxs: np.ndarray) -> np.ndarray:
+        ls = lens[idxs]
+        tot = int(ls.sum())
+        if tot == 0:
+            return np.empty(0, dtype=np.uint64)
+        base = np.concatenate([[0], np.cumsum(ls)[:-1]])
+        pos = np.arange(tot, dtype=np.int64) + np.repeat(
+            set_offs[idxs] - base, ls)
+        return codes_flat[pos]
+
     la, lb = lens[ua], lens[ub]
-    packed = np.concatenate(
-        [codes[i] for i in ua] + [codes[i] for i in ub]
-        or [np.empty(0, dtype=np.uint64)])
+    packed = np.concatenate([seg_gather(ua), seg_gather(ub)])
     pid = np.concatenate([np.repeat(np.arange(m, dtype=np.uint64), la),
                           np.repeat(np.arange(m, dtype=np.uint64), lb)])
     packed |= pid << np.uint64(32)
