@@ -90,8 +90,8 @@ def minhash_dup_pairs(
     Jaccard ≥ cfg.jaccard_threshold, candidates from MinHash LSH."""
     sigs = sign_docs(docs, cfg, eng).materialize()
     pairs, _ = candidate_pairs(sigs, eng, num_partitions)
-    texts = sigs.select_columns(["doc_id", "text"])
-    return verify_pairs(pairs, texts, cfg,
+    sets = sigs.select_columns(["doc_id", "shingles"])
+    return verify_pairs(pairs, sets, cfg,
                         batch_size=eng.verify_batch_size,
                         num_partitions=num_partitions)
 
@@ -371,7 +371,7 @@ def incremental_near_dup(
     cross = pairs.map_batches(
         functools.partial(cross_only, ref=inc_ids_ref),
         batch_format="pyarrow", zero_copy_batch=True)
-    edges = verify_pairs(cross, sigs.select_columns(["doc_id", "text"]),
+    edges = verify_pairs(cross, sigs.select_columns(["doc_id", "shingles"]),
                          cfg, batch_size=eng.verify_batch_size,
                          num_partitions=num_partitions)
 

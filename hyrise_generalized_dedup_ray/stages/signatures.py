@@ -95,6 +95,23 @@ class SignerActor:
         n_shingles = np.diff(offsets)
         text_hash = hash_strings(text_col.to_numpy(zero_copy_only=False))
 
+        # per-doc SORTED UNIQUE shingle sets, carried in the signer
+        # output so the near-dup verify consumes them directly instead
+        # of re-tokenizing + re-shingling every melted text (~half the
+        # verify stage's CPU at the 2M point).  ~8 B per distinct
+        # shingle ≈ the text's own size; the exact/substring branches
+        # keep using the text column.
+        ndocs = len(offsets) - 1
+        uniq_sets = [np.unique(flat[offsets[i]:offsets[i + 1]])
+                     for i in range(ndocs)]
+        soffs = np.zeros(ndocs + 1, dtype=np.int32)
+        np.cumsum([len(u) for u in uniq_sets], out=soffs[1:])
+        flat_u = (np.concatenate(uniq_sets) if uniq_sets
+                  else np.empty(0, np.uint64))
+        shingle_col = pa.ListArray.from_arrays(
+            pa.array(soffs), pa.array(flat_u.view(np.int64),
+                                      type=pa.int64()))
+
         cols: dict[str, pa.Array] = {
             "doc_id": pa.array(ids, type=pa.int64()),
             "url": url_col,
@@ -102,6 +119,7 @@ class SignerActor:
             "simhash": pa.array(sim.view(np.int64), type=pa.int64()),
             "num_shingles": pa.array(n_shingles, type=pa.int64()),
             "text_hash": pa.array(text_hash.view(np.int64), type=pa.int64()),
+            "shingles": shingle_col,
         }
         if self.with_fingerprints:
             fps = winnow_fingerprints_csr(flat_u8, doc_offs)

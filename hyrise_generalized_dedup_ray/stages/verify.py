@@ -44,6 +44,12 @@ _PAIR_SCHEMA = pa.schema([("a", _I64), ("b", _I64)])
 _VERIFY_SCHEMA = pa.schema([("pkey", _I64), ("kind", _I64), ("a", _I64),
                             ("b", _I64), ("doc_id", _I64),
                             ("text", pa.string())])
+# signer-shingle variant: the melt ships each doc's SORTED UNIQUE
+# shingle set (signer column) instead of its text — the kernel then
+# verifies without tokenizing anything (see _verify_shingle_kernel)
+_VERIFY_SHINGLE_SCHEMA = pa.schema([
+    ("pkey", _I64), ("kind", _I64), ("a", _I64), ("b", _I64),
+    ("doc_id", _I64), ("shingles", pa.list_(pa.int64()))])
 
 
 # pairs up to this many rows ride the broadcast attach path (~64 bytes
@@ -286,6 +292,88 @@ def _melt_pair_texts(block: pa.Table, ref, P: int) -> pa.Table:
     }, schema=_VERIFY_SCHEMA)
 
 
+def _melt_pair_shingles(block: pa.Table, ref, P: int) -> pa.Table:
+    """Shingle-payload twin of :func:`_melt_pair_texts`: ships each
+    doc's signer-computed sorted unique shingle set once per shard."""
+    st = ray.get(ref)
+    md, mpk = st["md"], st["mpk"]
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(md, ids, "left")
+    hi = np.searchsorted(md, ids, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    doc_rows = np.repeat(np.arange(len(ids)), cnt)
+    excl = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) else \
+        np.empty(0, dtype=np.int64)
+    pos = np.arange(total) + np.repeat(lo - excl, cnt)
+    pks = mpk[pos]
+    key = doc_rows * np.int64(P) + pks
+    keep = np.zeros(total, dtype=bool)
+    if total:
+        o2 = np.argsort(key, kind="stable")
+        ks = key[o2]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        keep[o2[first]] = True
+    doc_rows, pks = doc_rows[keep], pks[keep]
+    m = len(doc_rows)
+    return pa.table({
+        "pkey": pa.array(pks, type=_I64),
+        "kind": pa.array(np.ones(m, dtype=np.int64), type=_I64),
+        "a": pa.nulls(m, type=_I64),
+        "b": pa.nulls(m, type=_I64),
+        "doc_id": pa.array(ids[doc_rows], type=_I64),
+        "shingles": block.column("shingles").take(pa.array(doc_rows)),
+    }, schema=_VERIFY_SHINGLE_SCHEMA)
+
+
+def _verify_shingle_kernel(part: pa.Table, cfg: SignatureConfig) -> pa.Table:
+    """One shard of pair rows (kind=0) + per-shard-deduped SHINGLE
+    rows (kind=1) → verified near-dup edges.  No tokenization, no
+    shingle cache: the sets are zero-copy slices of the melted list
+    column, and ONE :func:`jaccard_many` call covers the whole shard
+    (re-tokenizing melted texts was ~half the stage's CPU at 2M)."""
+    from hyrise_generalized_dedup_ray.functions.text import jaccard_many
+
+    kind = part.column("kind").to_numpy(zero_copy_only=False)
+    pair_idx = np.flatnonzero(kind == 0)
+    doc_idx = np.flatnonzero(kind == 1)
+    if len(pair_idx) == 0 or len(doc_idx) == 0:
+        return _PAIR_SCHEMA.empty_table()
+    dids = part.column("doc_id").to_numpy(
+        zero_copy_only=False)[doc_idx].astype(np.int64)
+    dorder = np.argsort(dids, kind="stable")
+    dids_sorted = dids[dorder]
+    sh = part.column("shingles")
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    sh = sh.take(pa.array(doc_idx[dorder]))
+    flat = sh.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    sets = [flat[offs[i]:offs[i + 1]] for i in range(len(dids_sorted))]
+    pa_ids = part.column("a").to_numpy(
+        zero_copy_only=False)[pair_idx].astype(np.int64)
+    pb_ids = part.column("b").to_numpy(
+        zero_copy_only=False)[pair_idx].astype(np.int64)
+
+    def lookup(x):
+        pos = np.searchsorted(dids_sorted, x)
+        pos_c = np.minimum(pos, len(dids_sorted) - 1)
+        ok = dids_sorted[pos_c] == x
+        return pos_c, ok
+
+    la, oka = lookup(pa_ids)
+    lb, okb = lookup(pb_ids)
+    ok = oka & okb
+    la, lb = la[ok], lb[ok]
+    pa_ok, pb_ok = pa_ids[ok], pb_ids[ok]
+    jac = jaccard_many(sets, la, lb)
+    keep = jac >= cfg.jaccard_threshold
+    return pa.table({
+        "a": pa.array(pa_ok[keep], type=_I64),
+        "b": pa.array(pb_ok[keep], type=_I64),
+    })
+
+
 def _verify_kernel(part: pa.Table, cfg: SignatureConfig,
                    batch_size: int) -> pa.Table:
     """One shard of pair rows (kind=0) + per-shard-deduped text rows
@@ -407,23 +495,34 @@ def _verify_broadcast(
     cpus = int(ray.cluster_resources().get("CPU", 8))
     P = int(np.clip(pairs.count() // 20000,
                     max(4, num_partitions, 2 * cpus), 4 * cpus))
+    sch = docs.schema()
+    names = getattr(sch, "names", None) or []
+    use_shingles = "shingles" in names
+    payload = "shingles" if use_shingles else "text"
     parts = _build_verify_seeds.options(num_returns=P + 1).remote(
-        list(pairs.to_arrow_refs()), P, pre_deduped)
+        list(pairs.to_arrow_refs()), P, pre_deduped, payload)
     seed_refs, ref = list(parts[:P]), parts[P]
 
+    if use_shingles:
+        melt = functools.partial(_melt_pair_shingles, ref=ref, P=P)
+        kernel = functools.partial(_verify_shingle_kernel, cfg=cfg)
+        schema = _VERIFY_SHINGLE_SCHEMA
+    else:
+        melt = functools.partial(_melt_pair_texts, ref=ref, P=P)
+        kernel = functools.partial(_verify_kernel, cfg=cfg,
+                                   batch_size=batch_size)
+        schema = _VERIFY_SCHEMA
     refs = hash_exchange_refs(
-        docs.to_arrow_refs(),
-        functools.partial(_melt_pair_texts, ref=ref, P=P),
-        "pkey",
-        functools.partial(_verify_kernel, cfg=cfg, batch_size=batch_size),
-        P, _VERIFY_SCHEMA, seed_shards=seed_refs, key_is_shard=True)
+        docs.to_arrow_refs(), melt, "pkey", kernel,
+        P, schema, seed_shards=seed_refs, key_is_shard=True)
     if not refs:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
     return ray.data.from_arrow_refs(refs)
 
 
 @ray.remote
-def _build_verify_seeds(refs: list, P: int, pre_deduped: bool):
+def _build_verify_seeds(refs: list, P: int, pre_deduped: bool,
+                        payload: str = "text"):
     """Pair blocks → P per-shard seed tables + the member index, all
     built off-driver.  ``num_returns=P+1``: the P seed shards ship to
     their reduce tasks individually; the index dict broadcasts once."""
@@ -442,14 +541,19 @@ def _build_verify_seeds(refs: list, P: int, pre_deduped: bool):
         a, b = a[keep0], b[keep0]
     pk = partition_ids(mix2(a.view(np.uint64), b.view(np.uint64)), P)
     n = len(a)
+    schema = (_VERIFY_SHINGLE_SCHEMA if payload == "shingles"
+              else _VERIFY_SCHEMA)
+    payload_nulls = (pa.nulls(n, type=pa.list_(pa.int64()))
+                     if payload == "shingles"
+                     else pa.nulls(n, type=pa.string()))
     pair_table = pa.table({
         "pkey": pa.array(pk, type=_I64),
         "kind": pa.array(np.zeros(n, dtype=np.int64), type=_I64),
         "a": pa.array(a, type=_I64),
         "b": pa.array(b, type=_I64),
         "doc_id": pa.nulls(n, type=_I64),
-        "text": pa.nulls(n, type=pa.string()),
-    }, schema=_VERIFY_SCHEMA)
+        payload: payload_nulls,
+    }, schema=schema)
     seed_shards = split_by_key(pair_table, pk, P, key_is_shard=True)
     member_doc = np.concatenate([a, b])
     member_pk = np.concatenate([pk, pk])
