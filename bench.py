@@ -253,8 +253,8 @@ def main() -> None:
         max_pairs = int(os.environ.get("GRAFT_SCALING_MAX_PAIRS", "9"))
         gate_steal = float(os.environ.get("GRAFT_SCALING_GATE_STEAL", "5.0"))
         gate_factor = float(os.environ.get("GRAFT_SCALING_GATE_FACTOR", "1.2"))
-        # clean-host wall-time profile (240k-doc fixture; round-4
-        # measured base {2: 91.5, 8: 25.9} below) scaled linearly to
+        # clean-host wall-time profile (240k-doc fixture; round-5
+        # measured base {2: 66.1, 8: 18.8} below) scaled linearly to
         # other doc counts / legs when overridden
         profile_env = os.environ.get("GRAFT_SCALING_PROFILE", "")
         if profile_env:
@@ -265,8 +265,8 @@ def main() -> None:
             # in a 0%-steal window (BENCH_scaling.json round-4 pair);
             # round-3's {2: 112.0, 8: 34.0} predates the
             # aggregate-on-exchange and substring-kernel work
-            base = {2: 91.5, 8: 25.9}
-            profile = {c: base.get(c, 91.5 * 2 / c) * (ndocs / 240000)
+            base = {2: 66.1, 8: 18.8}
+            profile = {c: base.get(c, 66.1 * 2 / c) * (ndocs / 240000)
                        for c in (lo, hi)}
 
         def run_trial(cpus: int) -> dict:

@@ -643,7 +643,10 @@ def _explode_word_ngrams(batch: pa.Table, n: int) -> pa.Table:
     regex split offsets → numpy doc ids → shifted-slice gram join via
     ``pc.binary_join_element_wise`` → per-batch unique-by-hash counts
     (the vocab_top_terms combiner shape — only (string, i64) partials
-    reach the shuffle)."""
+    reach the shuffle).  Per-batch combining keys on the 64-bit
+    SipHash of the gram — the engine-wide collision-accepting u64
+    string-identity convention (P[in-batch collision] ≈ n²/2⁶⁵); the
+    oracle twin hash-matching at sf0.01 is the empirical check."""
     import pyarrow.compute as pc
 
     from hyrise_generalized_dedup_ray.functions.hashing import hash_strings
