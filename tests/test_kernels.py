@@ -294,3 +294,61 @@ def test_jaccard_many_empty_pairs():
     out = jaccard_many([], np.empty(0, dtype=np.int64),
                        np.empty(0, dtype=np.int64))
     assert out.shape == (0,)
+
+
+def test_verify_shingle_kernel_matches_text_kernel():
+    """The signer-shingle verify kernel and the text-payload kernel
+    produce identical edges on the same pair shard (the 2M-scale
+    pipeline A/B, miniaturized)."""
+    import pyarrow as pa
+
+    from hyrise_generalized_dedup_ray.functions.text import (
+        batch_shingles,
+        unique_shingle_sets,
+    )
+    from hyrise_generalized_dedup_ray.stages.verify import (
+        _verify_kernel,
+        _verify_shingle_kernel,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog again and again",
+             "the quick brown fox jumps over the lazy dog again and again",
+             "the quick brown fox leaps over the lazy dog again and again",
+             "completely different content with no overlap whatsoever here",
+             "the quick brown fox jumps over the lazy cat again and again"]
+    ids = [10, 20, 30, 40, 50]
+    pairs = [(10, 20), (10, 30), (10, 40), (20, 50), (30, 50), (40, 50)]
+    flat, off = batch_shingles(texts, CFG.shingle_n)
+    sets = unique_shingle_sets(flat, off)
+    n_p, n_d = len(pairs), len(ids)
+    soffs = np.zeros(n_d + 1, dtype=np.int32)
+    np.cumsum([len(s) for s in sets], out=soffs[1:])
+    sh_col = pa.ListArray.from_arrays(
+        pa.array(soffs),
+        pa.array(np.concatenate(sets).view(np.int64), type=pa.int64()))
+    kind = [0] * n_p + [1] * n_d
+    a = [p[0] for p in pairs] + [None] * n_d
+    b = [p[1] for p in pairs] + [None] * n_d
+    did = [None] * n_p + ids
+    shingle_part = pa.table({
+        "pkey": pa.array([0] * (n_p + n_d), type=pa.int64()),
+        "kind": pa.array(kind, type=pa.int64()),
+        "a": pa.array(a, type=pa.int64()),
+        "b": pa.array(b, type=pa.int64()),
+        "doc_id": pa.array(did, type=pa.int64()),
+        "shingles": pa.concat_arrays(
+            [pa.nulls(n_p, type=pa.list_(pa.int64())), sh_col]),
+    })
+    text_part = pa.table({
+        "pkey": pa.array([0] * (n_p + n_d), type=pa.int64()),
+        "kind": pa.array(kind, type=pa.int64()),
+        "a": pa.array(a, type=pa.int64()),
+        "b": pa.array(b, type=pa.int64()),
+        "doc_id": pa.array(did, type=pa.int64()),
+        "text": pa.array([None] * n_p + texts, type=pa.string()),
+    })
+    e1 = _verify_shingle_kernel(shingle_part, CFG)
+    e2 = _verify_kernel(text_part, CFG, batch_size=3)
+    p1 = sorted(zip(e1.column("a").to_pylist(), e1.column("b").to_pylist()))
+    p2 = sorted(zip(e2.column("a").to_pylist(), e2.column("b").to_pylist()))
+    assert p1 == p2 and len(p1) >= 1
