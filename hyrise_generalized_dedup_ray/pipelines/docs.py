@@ -260,37 +260,42 @@ def ngram_jaccard_pairs(
     a MinHash LSH over the SAME char shingles (shared S-curve machinery
     — only the shingle kernel differs from the token pipeline)."""
 
-    class CharSigner:
-        def __init__(self, cfg_: SignatureConfig):
-            self.cfg = cfg_
+    import functools
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column("text").to_pylist()
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            flat, offsets = char_shingles(texts, n)
-            sig = minhash_signatures(flat, offsets, self.cfg)
-            bands = band_keys(sig, self.cfg)
-            return pa.table({
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "band_keys": _list_of_u64(bands),
-                "num_shingles": pa.array(np.diff(offsets), type=pa.int64()),
-                "text": batch.column("text"),
-            })
+    def char_sign(batch: pa.Table, cfg_: SignatureConfig) -> pa.Table:
+        # plain TASKS (no actor pool): the only per-call state is two
+        # 128-element coefficient arrays, cached per worker process by
+        # cfg.perm_coefficients — an actor pool capped concurrency at
+        # 8 while the char-shingle minhash (8× the token shingle
+        # volume) is the query's dominant compute
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat, offsets = char_shingles(texts, n)
+        sig = minhash_signatures(flat, offsets, cfg_)
+        bands = band_keys(sig, cfg_)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "band_keys": _list_of_u64(bands),
+            "num_shingles": pa.array(np.diff(offsets), type=pa.int64()),
+            "text": batch.column("text"),
+        })
 
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
-        CharSigner, fn_constructor_args=(cfg,),
+        functools.partial(char_sign, cfg_=cfg),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=eng.signature_batch_size,
-        concurrency=(1, 8), num_cpus=1,
     ).materialize()
     pairs, _ = candidate_pairs(sigs, eng, num_partitions)
     from hyrise_generalized_dedup_ray.stages.verify import attach_texts
     with_texts = attach_texts(pairs, sigs.select_columns(["doc_id", "text"]),
                               num_partitions)
+
+    def char_verify(batch: pa.Table) -> pa.Table:
+        return _CharJaccardVerifier(n, tau)(batch)
+
     return with_texts.map_batches(
-        _CharJaccardVerifier, fn_constructor_args=(n, tau),
-        batch_format="pyarrow", batch_size=eng.verify_batch_size,
-        concurrency=(1, 8),
+        char_verify, batch_format="pyarrow",
+        batch_size=eng.verify_batch_size,
     )
 
 
